@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  -> flagship query on /root/testdata/sf0.001.
+queries()     -> named (spark, sf_dir) -> DataFrame callables, one per
+                 implemented operator group from SURVEY.md §2.
+oracle_sql()  -> matching DuckDB ANSI-SQL oracles.
+
+All real logic lives in gtfs_osm_sync_spark/; this module is the thin
+driver-facing surface.
 """
 
 from __future__ import annotations
@@ -13,26 +15,23 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from gtfs_osm_sync_spark import driver_queries as dq
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: radius-bounded kNN spatial join (J1+J4) on sf0.001.
+
+    The engine's headline pipeline — cell-prejoined candidate generation,
+    broadcast small side, haversine filter, windowed kNN rank — in the
+    shape the reference's compareBusStopData computes with an O(N*M) loop
+    (task/CompareData.java:1000-1290).
+    """
+    return dq.QUERIES["q10_knn"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(dq.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(dq.ORACLES)

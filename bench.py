@@ -1,0 +1,78 @@
+"""Bench harness: runs the headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line with per-query seconds.
+
+The headline metric mirrors BASELINE.json: spatial-join throughput
+(rows assigned per second through the flagship kNN pipeline), plus
+wall-clock for every registered driver query. Scaling-efficiency evidence
+(local[8] vs local[32]) is produced by tools/bench_scaling.py, which
+reuses this module.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# queries benched every round; flagship first
+HEADLINE = [
+    "q10_knn",
+    "q09_radius_join",
+    "q11_match_categories",
+    "q01_pricing_summary",
+    "q03_revenue_by_nation",
+    "q08_variant_dedup",
+]
+
+
+def run_bench(sf_dir: str, cpus: int, queries: list[str] | None = None) -> dict:
+    from gtfs_osm_sync_spark.session import get_spark
+    from gtfs_osm_sync_spark import driver_queries as dq
+
+    spark = get_spark(cpus=cpus, app_name=f"bench_local{cpus}")
+    names = [q for q in (queries or HEADLINE) if q in dq.QUERIES]
+    # warm the JVM/Arrow path once (excluded from timings)
+    dq.QUERIES[names[0]](spark, sf_dir).count()
+
+    per_query: dict[str, float] = {}
+    flagship_rows = 0
+    t_all = time.time()
+    for name in names:
+        t0 = time.time()
+        n = dq.QUERIES[name](spark, sf_dir).count()
+        per_query[name] = round(time.time() - t0, 3)
+        if name == "q10_knn":
+            flagship_rows = n
+    total = round(time.time() - t_all, 3)
+
+    # flagship throughput: left-side rows pushed through the kNN spatial join
+    left_rows = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    knn_sec = per_query.get("q10_knn", float("nan"))
+    return {
+        "metric": "headline query wall-clock (flagship kNN spatial join first)",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "cpus": cpus,
+        "flagship": {
+            "name": "q10_knn",
+            "left_rows": left_rows,
+            "result_rows": flagship_rows,
+            "rows_per_sec": round(left_rows / knn_sec, 1) if knn_sec else None,
+        },
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    result = run_bench(sf_dir, cpus)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

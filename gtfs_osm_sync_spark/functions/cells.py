@@ -1,0 +1,359 @@
+"""Spatial cell indexes (vectorized, pure numpy — no native geo libs).
+
+Three index families, three jobs:
+
+1. ``s2_cell``  — real S2 cell ids (level 15 default): unit sphere -> cube
+   face -> quadratic ST projection -> 30-bit (i,j) -> Hilbert curve
+   position, packed into the standard 64-bit S2CellId layout (3 face bits,
+   2*level position bits, trailing 1). Implemented from the published S2
+   geometry algorithm; ids are stored as signed int64 (two's-complement
+   view of the uint64 id, the usual BIGINT convention). Used as a
+   partition/cluster key: Hilbert locality keeps nearby images in nearby
+   id ranges, which is what makes min/max file skipping work at 100 TB.
+
+2. ``hex_cell`` — aperture-7-style hexagonal binning in axial coordinates
+   on an equirectangular plane, with H3-compatible resolution sizing
+   (edge_m(res) = res-0 edge / sqrt(7)^res, so res 9 ~ 174.4 m edge,
+   matching H3 res 9). Hex k-rings are exact and cheap in axial coords,
+   which is what the cell-ring-expansion kNN needs. NOTE: this is an
+   H3-*style* index (same cell sizing, same ring semantics), not
+   bit-identical to Uber H3 — the h3 library is unavailable in this
+   environment and the engine never assumes H3's exact bit layout.
+
+3. ``grid_cell`` — a plain floor(lat/h), floor(lon/w) integer grid that is
+   expressible in ANSI SQL, used by the DuckDB-oracle-checked queries so
+   the oracle can reproduce candidate generation exactly.
+
+The radius-join prejoin contract for all three: ``ring(cell, k)`` must
+cover every point within R meters of any point in ``cell`` when k is
+chosen by ``rings_needed_*`` (a covering, not exact, set — the precise
+haversine filter runs after the equi-join).
+
+Reference analog: GO_Sync has *no* spatial index (O(N*M) nested loop,
+task/CompareData.java:1016-1069); this module is the headline
+algorithmic upgrade that makes the join a cell equi-join.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# S2 (real algorithm, vectorized)
+# ---------------------------------------------------------------------------
+
+_LOOKUP_BITS = 2  # build tables 2 Hilbert levels at a time (16*4 entries)
+_SWAP = 1
+_INVERT = 2
+_POS_TO_ORIENT = (_SWAP, 0, 0, _INVERT + _SWAP)
+_POS_TO_IJ = (
+    (0, 1, 3, 2),  # canonical
+    (0, 2, 3, 1),  # axes swapped
+    (3, 2, 0, 1),  # bits inverted
+    (3, 1, 0, 2),  # swapped & inverted
+)
+_MAX_LEVEL = 30
+
+
+def _init_lookup() -> tuple[np.ndarray, np.ndarray]:
+    size = 1 << (2 * _LOOKUP_BITS + 2)
+    lookup_pos = np.zeros(size, dtype=np.int64)
+    lookup_ij = np.zeros(size, dtype=np.int64)
+
+    def rec(level: int, i: int, j: int, orig: int, orient: int, pos: int) -> None:
+        if level == _LOOKUP_BITS:
+            ij = (i << _LOOKUP_BITS) + j
+            lookup_pos[(ij << 2) + orig] = (pos << 2) + orient
+            lookup_ij[(pos << 2) + orig] = (ij << 2) + orient
+            return
+        level += 1
+        i <<= 1
+        j <<= 1
+        pos <<= 2
+        r = _POS_TO_IJ[orient]
+        for sub in range(4):
+            rec(
+                level,
+                i + (r[sub] >> 1),
+                j + (r[sub] & 1),
+                orig,
+                orient ^ _POS_TO_ORIENT[sub],
+                pos + sub,
+            )
+
+    for orientation in range(4):
+        rec(0, 0, 0, orientation, orientation, 0)
+    return lookup_pos, lookup_ij
+
+
+_LOOKUP_POS, _LOOKUP_IJ = _init_lookup()
+
+
+def _latlon_to_xyz(lat_deg: np.ndarray, lon_deg: np.ndarray):
+    lat = np.radians(lat_deg)
+    lon = np.radians(lon_deg)
+    coslat = np.cos(lat)
+    return coslat * np.cos(lon), coslat * np.sin(lon), np.sin(lat)
+
+
+def _xyz_to_face_uv(x: np.ndarray, y: np.ndarray, z: np.ndarray):
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    face = np.where(ax >= ay, np.where(ax >= az, 0, 2), np.where(ay >= az, 1, 2))
+    comp = np.choose(face, [x, y, z])
+    face = np.where(comp < 0, face + 3, face).astype(np.int64)
+
+    u = np.empty_like(x)
+    v = np.empty_like(x)
+    face_uv = [
+        (y, z, x),  # face 0 (+x): u=y/x  v=z/x
+        (-x, z, y),  # face 1 (+y): u=-x/y v=z/y
+        (-x, -y, z),  # face 2 (+z): u=-x/z v=-y/z
+        (z, y, x),  # face 3 (-x): u=z/x  v=y/x
+        (z, -x, y),  # face 4 (-y): u=z/y  v=-x/y
+        (-y, -x, z),  # face 5 (-z): u=-y/z v=-x/z
+    ]
+    for f, (unum, vnum, den) in enumerate(face_uv):
+        m = face == f
+        if m.any():
+            u[m] = unum[m] / den[m]
+            v[m] = vnum[m] / den[m]
+    return face, u, v
+
+
+def _st_from_uv(u: np.ndarray) -> np.ndarray:
+    # quadratic projection (S2_QUADRATIC_PROJECTION)
+    return np.where(u >= 0, 0.5 * np.sqrt(1.0 + 3.0 * u), 1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u))
+
+
+def _uv_from_st(s: np.ndarray) -> np.ndarray:
+    return np.where(
+        s >= 0.5, (1.0 / 3.0) * (4.0 * s * s - 1.0), (1.0 / 3.0) * (1.0 - 4.0 * (1.0 - s) * (1.0 - s))
+    )
+
+
+def _st_to_ij(s: np.ndarray) -> np.ndarray:
+    ij = np.floor(s * (1 << _MAX_LEVEL)).astype(np.int64)
+    return np.clip(ij, 0, (1 << _MAX_LEVEL) - 1)
+
+
+def s2_face_ij(lat_deg, lon_deg):
+    """(face, i, j) at level 30 for arrays of degrees."""
+    lat_deg = np.asarray(lat_deg, dtype=np.float64)
+    lon_deg = np.asarray(lon_deg, dtype=np.float64)
+    x, y, z = _latlon_to_xyz(lat_deg, lon_deg)
+    face, u, v = _xyz_to_face_uv(x, y, z)
+    i = _st_to_ij(_st_from_uv(u))
+    j = _st_to_ij(_st_from_uv(v))
+    return face, i, j
+
+
+def s2_cell_from_face_ij(face: np.ndarray, i: np.ndarray, j: np.ndarray, level: int) -> np.ndarray:
+    """Pack (face, i30, j30) into S2CellId at `level` (uint64 viewed as int64)."""
+    n = face.astype(np.uint64) << np.uint64(60)
+    bits = (face & _SWAP).astype(np.int64)
+    mask = (1 << _LOOKUP_BITS) - 1
+    steps = _MAX_LEVEL // _LOOKUP_BITS  # 15 steps of 2 bits
+    for k in range(steps - 1, -1, -1):
+        bits += ((i >> (k * _LOOKUP_BITS)) & mask) << (_LOOKUP_BITS + 2)
+        bits += ((j >> (k * _LOOKUP_BITS)) & mask) << 2
+        bits = _LOOKUP_POS[bits]
+        n |= (bits >> 2).astype(np.uint64) << np.uint64(k * 2 * _LOOKUP_BITS)
+        bits &= _SWAP | _INVERT
+    id_leaf = (n << np.uint64(1)) | np.uint64(1)
+    lsb = np.uint64(1) << np.uint64(2 * (_MAX_LEVEL - level))
+    return ((id_leaf & ~(lsb - np.uint64(1))) | lsb).view(np.int64)
+
+def s2_cell_np(lat_deg, lon_deg, level: int = 15) -> np.ndarray:
+    """S2 cell ids (int64 view) for arrays of lat/lon degrees."""
+    face, i, j = s2_face_ij(lat_deg, lon_deg)
+    return s2_cell_from_face_ij(face, i, j, level)
+
+
+def s2_leaf_to_face_ij(cell_id) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Inverse of the Hilbert packing (for tests): id -> (face, i, j) at level 30."""
+    cid = np.asarray(cell_id).view(np.uint64)
+    # strip trailing bit pattern down to leaf position: the position bits
+    # above the lsb are valid; lower bits are the center of the cell.
+    face = (cid >> np.uint64(61)).astype(np.int64)
+    pos = ((cid & np.uint64((1 << 61) - 1)) >> np.uint64(1)).astype(np.int64)
+    i = np.zeros_like(pos)
+    j = np.zeros_like(pos)
+    bits = face & _SWAP
+    steps = _MAX_LEVEL // _LOOKUP_BITS
+    for k in range(steps - 1, -1, -1):
+        nbits = _LOOKUP_BITS
+        bits += ((pos >> (k * 2 * _LOOKUP_BITS)) & ((1 << (2 * nbits)) - 1)) << 2
+        bits = _LOOKUP_IJ[bits]
+        i += (bits >> (_LOOKUP_BITS + 2)) << (k * _LOOKUP_BITS)
+        j += ((bits >> 2) & ((1 << _LOOKUP_BITS) - 1)) << (k * _LOOKUP_BITS)
+        bits &= _SWAP | _INVERT
+    return face, i, j
+
+
+def s2_cell_center_latlon(cell_id, level: int = 15):
+    """Approximate center lat/lon of cells (for tests/locality checks)."""
+    face, i, j = s2_leaf_to_face_ij(cell_id)
+    # snap to cell center at `level`
+    size = 1 << (_MAX_LEVEL - level)
+    i = (i & ~(size - 1)) + size // 2
+    j = (j & ~(size - 1)) + size // 2
+    s = (i.astype(np.float64) + 0.5) / (1 << _MAX_LEVEL)
+    t = (j.astype(np.float64) + 0.5) / (1 << _MAX_LEVEL)
+    u = _uv_from_st(s)
+    v = _uv_from_st(t)
+    x = np.empty_like(u)
+    y = np.empty_like(u)
+    z = np.empty_like(u)
+    # inverse of the face table above: face -> xyz from (u, v, 1) on that face
+    tbl = {
+        0: lambda u, v: (np.ones_like(u), u, v),
+        1: lambda u, v: (-u, np.ones_like(u), v),
+        2: lambda u, v: (-u, -v, np.ones_like(u)),
+        3: lambda u, v: (-np.ones_like(u), -v, -u),
+        4: lambda u, v: (v, -np.ones_like(u), -u),
+        5: lambda u, v: (v, u, -np.ones_like(u)),
+    }
+    for f, fn in tbl.items():
+        m = face == f
+        if m.any():
+            xx, yy, zz = fn(u[m], v[m])
+            x[m], y[m], z[m] = xx, yy, zz
+    norm = np.sqrt(x * x + y * y + z * z)
+    lat = np.degrees(np.arcsin(z / norm))
+    lon = np.degrees(np.arctan2(y, x))
+    return lat, lon
+
+
+def make_s2_cell_udf(level: int = 15):
+    @F.pandas_udf(T.LongType())
+    def s2_cell(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        out = s2_cell_np(lat.to_numpy(np.float64), lon.to_numpy(np.float64), level)
+        return pd.Series(out)
+
+    return s2_cell
+
+
+# ---------------------------------------------------------------------------
+# Hex index (H3-style sizing, axial coordinates, exact k-rings)
+# ---------------------------------------------------------------------------
+
+EARTH_RADIUS_M = 6371008.8
+_HEX_RES0_EDGE_M = 1107712.591  # H3 res-0 mean edge; edge(res) = this / sqrt(7)^res
+_HEX_OFF = 1 << 27  # axial coordinate offset so packed coords are non-negative
+
+
+def hex_edge_m(res: int) -> float:
+    return _HEX_RES0_EDGE_M / (7.0 ** (res / 2.0))
+
+
+def _hex_axial(lat_deg: np.ndarray, lon_deg: np.ndarray, res: int):
+    """Pointy-top axial hex coords on the equirectangular plane (meters)."""
+    size = hex_edge_m(res)
+    x = np.radians(np.asarray(lon_deg, dtype=np.float64)) * EARTH_RADIUS_M
+    y = np.radians(np.asarray(lat_deg, dtype=np.float64)) * EARTH_RADIUS_M
+    qf = (math.sqrt(3.0) / 3.0 * x - y / 3.0) / size
+    rf = (2.0 / 3.0 * y) / size
+    # cube rounding
+    xf, zf = qf, rf
+    yf = -xf - zf
+    rx, ry, rz = np.round(xf), np.round(yf), np.round(zf)
+    dx, dy, dz = np.abs(rx - xf), np.abs(ry - yf), np.abs(rz - zf)
+    fix_x = (dx > dy) & (dx > dz)
+    fix_z = ~fix_x & (dz > dy)
+    rx = np.where(fix_x, -ry - rz, rx)
+    rz = np.where(fix_z, -rx - ry, rz)
+    return rx.astype(np.int64), rz.astype(np.int64)
+
+
+def hex_cell_np(lat_deg, lon_deg, res: int = 9) -> np.ndarray:
+    """Packed hex cell id: (res << 58) | (q+OFF) << 29 | (r+OFF)."""
+    q, r = _hex_axial(lat_deg, lon_deg, res)
+    return (np.int64(res) << np.int64(58)) | ((q + _HEX_OFF) << np.int64(29)) | (r + _HEX_OFF)
+
+
+def hex_cell_unpack(cell_id):
+    cid = np.asarray(cell_id, dtype=np.int64)
+    res = (cid >> np.int64(58)).astype(np.int64)
+    q = ((cid >> np.int64(29)) & np.int64((1 << 29) - 1)) - _HEX_OFF
+    r = (cid & np.int64((1 << 29) - 1)) - _HEX_OFF
+    return res, q, r
+
+
+def hex_cell_center_latlon(cell_id):
+    res, q, r = hex_cell_unpack(cell_id)
+    size = _HEX_RES0_EDGE_M / np.power(7.0, res / 2.0)
+    x = size * (math.sqrt(3.0) * q.astype(np.float64) + math.sqrt(3.0) / 2.0 * r)
+    y = size * (1.5 * r.astype(np.float64))
+    return np.degrees(y / EARTH_RADIUS_M), np.degrees(x / EARTH_RADIUS_M)
+
+
+def make_hex_cell_udf(res: int = 9):
+    @F.pandas_udf(T.LongType())
+    def hex_cell(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        return pd.Series(hex_cell_np(lat.to_numpy(np.float64), lon.to_numpy(np.float64), res))
+
+    return hex_cell
+
+
+def make_hex_ring_udf(k: int = 1):
+    """Pandas UDF: cell id -> array of all cell ids within hex distance k
+    (the filled k-ring / grid_disk, (k+1)*3*k + 1 cells). Explode after."""
+
+    offsets = [
+        (dq, dr)
+        for dq in range(-k, k + 1)
+        for dr in range(max(-k, -dq - k), min(k, -dq + k) + 1)
+    ]
+    dqs = np.array([o[0] for o in offsets], dtype=np.int64)
+    drs = np.array([o[1] for o in offsets], dtype=np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def hex_ring(cell: pd.Series) -> pd.Series:
+        cid = cell.to_numpy(np.int64)
+        res, q, r = hex_cell_unpack(cid)
+        # broadcast: (n, m) neighbor coords
+        qn = q[:, None] + dqs[None, :]
+        rn = r[:, None] + drs[None, :]
+        packed = (res[:, None] << np.int64(58)) | ((qn + _HEX_OFF) << np.int64(29)) | (rn + _HEX_OFF)
+        return pd.Series(list(packed))
+
+    return hex_ring
+
+
+def hex_rings_needed(radius_m: float, res: int, max_abs_lat_deg: float = 0.0) -> int:
+    """Smallest k such that the filled k-ring covers `radius_m` ground meters.
+
+    The hex inradius is sqrt(3)/2 * edge in plane meters; ground x-distance
+    shrinks by cos(lat) on the equirectangular plane, so at latitude L the
+    guaranteed covered ground radius of ring k is
+    (k + 0.5) * sqrt(3) * edge * cos(L) (adjacent hex center spacing is
+    sqrt(3)*edge in the worst direction). Conservative by design.
+    """
+    edge = hex_edge_m(res)
+    coslat = max(math.cos(math.radians(max_abs_lat_deg)), 1e-6)
+    spacing = math.sqrt(3.0) * edge * coslat
+    k = 0
+    while (k + 0.5) * spacing < radius_m:
+        k += 1
+    return k
+
+
+# ---------------------------------------------------------------------------
+# SQL-expressible lat/lon grid (for DuckDB-oracle queries)
+# ---------------------------------------------------------------------------
+
+
+def grid_cell_col(lat, lon, cell_deg: float) -> "F.Column":
+    """floor-grid cell key as a Column; same formula as grid_cell_sql."""
+    return (F.floor(lat / F.lit(cell_deg)) * F.lit(400000) + F.floor(lon / F.lit(cell_deg))).cast(
+        "long"
+    )
+
+
+def grid_cell_sql(lat: str, lon: str, cell_deg: float) -> str:
+    return f"(CAST(floor(({lat}) / {cell_deg!r}) AS BIGINT) * 400000 + CAST(floor(({lon}) / {cell_deg!r}) AS BIGINT))"
