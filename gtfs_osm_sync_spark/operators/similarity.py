@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k, expressed with JVM array expressions
+(`zip_with` + `aggregate` fold — no Python, stays in codegen). The fold is
+sequential left-to-right, which makes the double math reproducible across
+engines (DuckDB list_sum folds the same way) for oracle checks.
+
+Scale path: sign-LSH (random-hyperplane) bucketing — `lsh_bucket` maps
+each vector to an m-bit signature from deterministic pseudo-hyperplanes;
+candidate pairs are generated per bucket (plus optional multi-probe over
+1-bit flips), turning the O(N^2) similarity join into a per-bucket local
+join. At 10^12 rows brute force is impossible; IVF/LSH drops the pair
+space by the bucket fan-out while the final exact cosine re-rank keeps
+precision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two array<float/double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 3,
+) -> DataFrame:
+    """Exact cosine top-k neighbors of each query over the corpus.
+
+    Broadcast the (small) query side; corpus streams through one stage.
+    Excludes self-pairs. Tie-break on neighbor id for determinism.
+    Returns (q_id, n_id, rank_k, sim).
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    pairs = c.crossJoin(F.broadcast(q)).filter(F.col("q_id") != F.col("n_id"))
+    scored = pairs.withColumn(
+        "sim", F.round(cosine(F.col("q_vec"), F.col("n_vec")), round_dp)
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank_k", F.row_number().over(w))
+        .filter(F.col("rank_k") <= k)
+        .select("q_id", "n_id", "rank_k", "sim")
+    )
+
+
+def lsh_bucket(vec: Column, n_bits: int = 8, dim: int = 64) -> Column:
+    """Sign-LSH bucket id from deterministic pseudo-random hyperplanes.
+
+    Hyperplane h's weight for dimension d is a +/-1 derived from the md5
+    of "h:d" (high bit of first hex nibble) — fully deterministic, no
+    stored model, identically computable in plain SQL. Returns an int in
+    [0, 2^n_bits).
+    """
+    bit_cols = []
+    for h in range(n_bits):
+        # +/-1 weights per dim, fixed at plan-build time (tiny literal array)
+        import hashlib
+
+        weights = [
+            1 if int(hashlib.md5(f"{h}:{d}".encode()).hexdigest()[0], 16) >= 8 else -1
+            for d in range(dim)
+        ]
+        w = F.array(*[F.lit(float(x)) for x in weights])
+        proj = dot(vec, w)
+        bit_cols.append(F.when(proj > 0, F.lit(1 << h)).otherwise(F.lit(0)))
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out + c
+    return out
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_bits: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the LSH bucket, exact re-rank.
+
+    The scale path: corpus is hash-partitioned by bucket (one shuffle),
+    each query probes only its bucket. Recall < 1 by construction; tests
+    measure recall against brute_force_topk.
+    """
+    bucket = lsh_bucket(F.col(vec_col), n_bits, dim)
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), bucket.alias("bucket")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), bucket.alias("bucket")
+    )
+    pairs = c.join(F.broadcast(q), "bucket").filter(F.col("q_id") != F.col("n_id"))
+    scored = pairs.withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("n_vec")), 3))
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank_k", F.row_number().over(w))
+        .filter(F.col("rank_k") <= k)
+        .select("q_id", "n_id", "rank_k", "sim")
+    )
+
+
+def cosine_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 3,
+) -> DataFrame:
+    """Embedding near-dup pairs: all (a < b) with cosine >= threshold.
+
+    Exact (self cross join) — the oracle-checkable baseline. The LSH
+    variant above is the 100 TB formulation.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), round_dp))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
