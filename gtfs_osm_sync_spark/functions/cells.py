@@ -326,21 +326,20 @@ def make_hex_ring_udf(k: int = 1):
 
 
 def hex_rings_needed(radius_m: float, res: int, max_abs_lat_deg: float = 0.0) -> int:
-    """Smallest k such that the filled k-ring covers `radius_m` ground meters.
+    """Smallest k such that the filled k-ring is a *covering* for
+    `radius_m` ground meters.
 
-    The hex inradius is sqrt(3)/2 * edge in plane meters; ground x-distance
-    shrinks by cos(lat) on the equirectangular plane, so at latitude L the
-    guaranteed covered ground radius of ring k is
-    (k + 0.5) * sqrt(3) * edge * cos(L) (adjacent hex center spacing is
-    sqrt(3)*edge in the worst direction). Conservative by design.
+    Geometry: hex centers at hex-distance d are >= 1.5*d*edge apart in the
+    plane (the lattice minimum, attained along the staggered direction),
+    and any point lies within one circumradius (= edge) of its cell
+    center, so two points at plane distance Dp sit in cells with
+    hexdist <= (Dp + 2*edge) / (1.5*edge). Ground-to-plane: longitude
+    distances stretch by 1/cos(lat) on the equirectangular plane.
     """
     edge = hex_edge_m(res)
     coslat = max(math.cos(math.radians(max_abs_lat_deg)), 1e-6)
-    spacing = math.sqrt(3.0) * edge * coslat
-    k = 0
-    while (k + 0.5) * spacing < radius_m:
-        k += 1
-    return k
+    plane_r = radius_m / coslat
+    return max(int(math.ceil((plane_r + 2.0 * edge) / (1.5 * edge))), 1)
 
 
 # ---------------------------------------------------------------------------

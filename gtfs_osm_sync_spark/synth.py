@@ -1,0 +1,305 @@
+"""Deterministic synthetic data: the 10^12-scale images table, features,
+and polygons — generated at small SF for tests/bench, no external data.
+
+Everything derives from integer ids via splitmix64 bit mixing, so
+generation is seed-stable across executors and partitionings (north_rule:
+no Random without explicit per-row seeds). Spatial skew is built in:
+8 of 64 clusters are "urban" — 9x the mass at 1/25 the spread — which is
+what the salting / AQE-skew machinery is exercised against.
+
+Feature placement anchors to image positions with a deterministic
+delta cycle {0 m, ~0.3 m, ~50-350 m, > 1 km} and a gtfs_id that matches
+the anchor image's id 2/3 of the time — guaranteeing every branch of the
+reference's categorization (CompareData.java:1059-1287: NOTHING_NEW /
+MODIFY / UPLOAD_CONFLICT / UPLOAD_NO_CONFLICT) occurs in every generated
+dataset.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .functions.codecs import encode_image
+
+# ---------------------------------------------------------------------------
+# bit mixing
+# ---------------------------------------------------------------------------
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """The splitmix64 finalizer (public domain constant set), vectorized."""
+    z = (x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+N_CLUSTERS = 64
+URBAN_MOD = 8  # clusters divisible by 8 are urban
+URBAN_SPREAD_DEG = 0.02  # ~2.2 km cluster radius
+RURAL_SPREAD_DEG = 0.5
+
+
+def cluster_of(phash: np.ndarray) -> np.ndarray:
+    """Skewed cluster assignment: upper half of a 128-way draw folds onto
+    the 8 urban clusters -> urban clusters get ~9x the mass."""
+    c1 = (splitmix64(phash) >> np.uint64(17)) % np.uint64(128)
+    urban = (c1 % np.uint64(URBAN_MOD)) * np.uint64(URBAN_MOD)
+    return np.where(c1 < N_CLUSTERS, c1, urban).astype(np.int64)
+
+
+def cluster_center(cluster: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    h1 = splitmix64(cluster.astype(np.uint64) * np.uint64(2) + np.uint64(1))
+    h2 = splitmix64(cluster.astype(np.uint64) * np.uint64(2) + np.uint64(2))
+    lat = -55.0 + (h1 % np.uint64(110_000)).astype(np.float64) / 1000.0
+    lon = -165.0 + (h2 % np.uint64(330_000)).astype(np.float64) / 1000.0
+    return lat, lon
+
+
+def phash_latlon_np(phash: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic geotag: phash -> (lat, lon) with urban skew."""
+    ph = np.asarray(phash).view(np.uint64) if np.asarray(phash).dtype == np.int64 else np.asarray(phash, dtype=np.uint64)
+    cl = cluster_of(ph)
+    clat, clon = cluster_center(cl)
+    spread = np.where(cl % URBAN_MOD == 0, URBAN_SPREAD_DEG, RURAL_SPREAD_DEG)
+    f1 = (splitmix64(ph ^ np.uint64(0xA5A5)) % np.uint64(2_000_001)).astype(np.float64) / 1e6 - 1.0
+    f2 = (splitmix64(ph ^ np.uint64(0x5A5A)) % np.uint64(2_000_001)).astype(np.float64) / 1e6 - 1.0
+    return clat + f1 * spread, clon + f2 * spread
+
+
+def make_phash_latlon_udf():
+    @F.pandas_udf("lat double, lon double")
+    def phash_latlon(phash: pd.Series) -> pd.DataFrame:
+        lat, lon = phash_latlon_np(phash.to_numpy(np.int64))
+        return pd.DataFrame({"lat": lat, "lon": lon})
+
+    return phash_latlon
+
+
+# ---------------------------------------------------------------------------
+# images table
+# ---------------------------------------------------------------------------
+
+_WORDS = (
+    "plaza bridge market station river park tower museum harbor garden "
+    "street corner fountain gallery castle library stadium chapel mill dock"
+).split()
+
+IMAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("fmt", T.StringType(), True),
+        T.StructField("caption", T.StringType(), True),
+        T.StructField("phash", T.LongType(), True),
+    ]
+)
+
+
+def gen_images_pdf(ids: np.ndarray) -> pd.DataFrame:
+    """One deterministic batch of image rows from integer ids."""
+    ids = ids.astype(np.uint64)
+    phash = splitmix64(ids).view(np.int64)
+    uph = phash.view(np.uint64)
+    w = (8 + (splitmix64(uph ^ np.uint64(1)) % np.uint64(25))).astype(np.int64)
+    h = (8 + (splitmix64(uph ^ np.uint64(2)) % np.uint64(25))).astype(np.int64)
+    fmt = np.where(ids % np.uint64(2) == 0, "png", "jpeg")
+    w1 = (uph % np.uint64(len(_WORDS))).astype(np.int64)
+    w2 = ((uph >> np.uint64(8)) % np.uint64(len(_WORDS))).astype(np.int64)
+    w3 = ((uph >> np.uint64(16)) % np.uint64(len(_WORDS))).astype(np.int64)
+    captions = [
+        f"a photo of the {_WORDS[a]} near the {_WORDS[b]} {_WORDS[c]}"
+        for a, b, c in zip(w1, w2, w3)
+    ]
+    blobs = []
+    for i in range(len(ids)):
+        rng = np.random.Generator(np.random.PCG64(int(uph[i])))
+        img = rng.integers(0, 256, size=(int(h[i]), int(w[i]), 3), dtype=np.uint16).astype(
+            np.uint8
+        )
+        blobs.append(encode_image(img, str(fmt[i])))
+    return pd.DataFrame(
+        {
+            "image_id": [f"img{int(i):012d}" for i in ids],
+            "bytes": blobs,
+            "w": w.astype(np.int32),
+            "h": h.astype(np.int32),
+            "fmt": fmt,
+            "caption": captions,
+            "phash": phash,
+        }
+    )
+
+
+def generate_images(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic images table (mapInPandas over a range)."""
+    parts = partitions or max(spark.sparkContext.defaultParallelism, 4)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield gen_images_pdf(pdf["id"].to_numpy())
+
+    return spark.range(0, n, 1, parts).mapInPandas(gen, IMAGES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# features table (OSM-node analog), anchored to image space
+# ---------------------------------------------------------------------------
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("feature_id", T.StringType(), False),
+        T.StructField("lat", T.DoubleType(), True),
+        T.StructField("lon", T.DoubleType(), True),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("operator", T.StringType(), True),
+        T.StructField("gtfs_id", T.StringType(), True),
+        T.StructField("tags", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("version", T.IntegerType(), True),
+        T.StructField("user", T.StringType(), True),
+    ]
+)
+
+OPERATORS = ["Metro Transit", "METRO", "City Lines", "Metro Transit Authority"]
+_DEG_PER_M = 1.0 / 111_320.0  # latitude degrees per meter
+
+# delta cycle exercising every categorization branch
+# (0 m exact, 0.3 m <= ERROR_TO_ZERO 0.5 m, mid-range < 400 m, far > 1 km)
+_DELTAS_M = [0.0, 0.3, 180.0, 2500.0]
+
+
+def gen_features_pdf(
+    fids: np.ndarray, n_images: int, n_features: int, id_digits: int = 8
+) -> pd.DataFrame:
+    """Deterministic per-id feature rows. `n_features` is the TOTAL count
+    (not the batch size) so anchors are invariant to batch partitioning."""
+    fids = fids.astype(np.uint64)
+    stride = max(n_images // max(n_features, 1), 1)
+    anchor = (fids * np.uint64(max(stride, 1)) + splitmix64(fids) % np.uint64(max(stride, 1))) % np.uint64(
+        max(n_images, 1)
+    )
+    phash = splitmix64(anchor)
+    alat, alon = phash_latlon_np(phash.view(np.int64))
+    delta_m = np.array([_DELTAS_M[int(i % 4)] for i in fids], dtype=np.float64)
+    ang = (splitmix64(fids ^ np.uint64(7)) % np.uint64(6283)).astype(np.float64) / 1000.0
+    lat = alat + np.cos(ang) * delta_m * _DEG_PER_M
+    lon = alon + np.sin(ang) * delta_m * _DEG_PER_M / np.maximum(
+        np.cos(np.radians(alat)), 1e-6
+    )
+    has_id = fids % np.uint64(3) != np.uint64(2)
+    gtfs_id = [
+        str(int(a)).zfill(id_digits) if keep else None
+        for a, keep in zip(anchor, has_id)
+    ]
+    op = [OPERATORS[int(i % len(OPERATORS))] for i in fids]
+    names = [f"Stop {int(a)}" for a in anchor]
+    tags = [
+        {
+            "highway": "bus_stop",
+            "name": nm,
+            "operator": o,
+            **({"gtfs_id": g} if g else {}),
+        }
+        for nm, o, g in zip(names, op, gtfs_id)
+    ]
+    return pd.DataFrame(
+        {
+            "feature_id": [f"node{int(i):010d}" for i in fids],
+            "lat": lat,
+            "lon": lon,
+            "name": names,
+            "operator": op,
+            "gtfs_id": gtfs_id,
+            "tags": tags,
+            "version": (splitmix64(fids ^ np.uint64(11)) % np.uint64(9) + np.uint64(1)).astype(
+                np.int32
+            ),
+            "user": [f"mapper{int(i % 17)}" for i in fids],
+        }
+    )
+
+
+def generate_features(
+    spark: SparkSession, n_images: int, n_features: int | None = None
+) -> DataFrame:
+    n_features = n_features or max(n_images // 50, 8)
+    parts = max(spark.sparkContext.defaultParallelism // 2, 2)
+
+    total = n_features
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield gen_features_pdf(pdf["id"].to_numpy(), n_images, total)
+
+    return spark.range(0, n_features, 1, parts).mapInPandas(gen, FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# polygons table (WKB)
+# ---------------------------------------------------------------------------
+
+
+def wkb_polygon(coords: list[tuple[float, float]]) -> bytes:
+    """Little-endian WKB polygon, one outer ring of (lon, lat) coords
+    (closed automatically)."""
+    ring = list(coords)
+    if ring[0] != ring[-1]:
+        ring.append(ring[0])
+    out = struct.pack("<BII", 1, 3, 1) + struct.pack("<I", len(ring))
+    for lon, lat in ring:
+        out += struct.pack("<dd", lon, lat)
+    return out
+
+
+POLYGONS_SCHEMA = T.StructType(
+    [
+        T.StructField("poly_id", T.StringType(), False),
+        T.StructField("wkb", T.BinaryType(), True),
+        T.StructField("min_lat", T.DoubleType(), True),
+        T.StructField("max_lat", T.DoubleType(), True),
+        T.StructField("min_lon", T.DoubleType(), True),
+        T.StructField("max_lon", T.DoubleType(), True),
+    ]
+)
+
+
+def generate_polygons(spark: SparkSession) -> DataFrame:
+    """One irregular pentagon per cluster + one global band polygon."""
+    rows = []
+    cl = np.arange(N_CLUSTERS, dtype=np.uint64)
+    clat, clon = cluster_center(cl)
+    for i in range(N_CLUSTERS):
+        r = 0.35 if i % URBAN_MOD else 0.08
+        h = splitmix64(np.array([i * 31 + 5], dtype=np.uint64))[0]
+        coords = []
+        for k in range(5):
+            ang = 2 * np.pi * k / 5 + (int(h) % 360) * np.pi / 180.0
+            rr = r * (0.7 + 0.3 * (((int(h) >> (4 * k)) % 16) / 15.0))
+            coords.append(
+                (float(clon[i] + rr * np.cos(ang)), float(clat[i] + rr * np.sin(ang)))
+            )
+        lats = [c[1] for c in coords]
+        lons = [c[0] for c in coords]
+        rows.append(
+            (
+                f"poly{i:04d}",
+                wkb_polygon(coords),
+                min(lats),
+                max(lats),
+                min(lons),
+                max(lons),
+            )
+        )
+    # a wide band crossing many clusters (multi-cell polygon case)
+    band = [(-170.0, -10.0), (170.0, -10.0), (170.0, 10.0), (-170.0, 10.0)]
+    rows.append(("poly_band", wkb_polygon(band), -10.0, 10.0, -170.0, 170.0))
+    return spark.createDataFrame(rows, POLYGONS_SCHEMA)
