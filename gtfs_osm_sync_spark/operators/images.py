@@ -1,0 +1,144 @@
+"""Image-column operators: decode/verify and per-cell raster mosaics.
+
+Multimodal plumbing pattern (BinaryType payload + typed metadata):
+- decode_stats: mapInPandas over (bytes, fmt) -> per-row decoded stats +
+  PSNR vs the deterministic original (the per-row invariant from
+  BASELINE.json input_hint: decoded-pixel allclose, PSNR >= 40 dB lossy).
+- mosaic_by_cell (A10 target-only op): groupBy(hex_cell).applyInPandas —
+  decode each member image, paste onto a fixed tile_px x tile_px RGB
+  canvas on a ceil(sqrt(n)) grid (images sorted by image_id for
+  determinism), re-encode as PNG. The canvas is bounded and the group
+  input is capped (max_images_per_cell) so a skewed urban cell cannot
+  OOM an executor — the cap is the same guard production mosaic jobs
+  use; overflow count is reported in the output row.
+
+Arrow ships the binary columns in batches; nothing here is per-row
+Python at the Spark API level.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ..functions.codecs import decode_image, png_encode, psnr
+
+
+DECODE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("psnr_db", T.DoubleType()),
+    ]
+)
+
+
+def decode_stats(images: DataFrame, check_against_phash: bool = True) -> DataFrame:
+    """Decode every payload; emit shape/mean stats and, when the original
+    pixels are reconstructible from phash (synthetic data), PSNR vs them."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                img = decode_image(row["bytes"], row["fmt"])
+                p = float("nan")
+                if check_against_phash and "phash" in pdf.columns:
+                    rng = np.random.Generator(
+                        np.random.PCG64(int(np.uint64(np.int64(row["phash"]))))
+                    )
+                    orig = rng.integers(
+                        0, 256, size=img.shape, dtype=np.uint16
+                    ).astype(np.uint8)
+                    p = psnr(orig, img)
+                means = img.reshape(-1, 3).mean(axis=0)
+                out.append(
+                    (
+                        row["image_id"],
+                        img.shape[0],
+                        img.shape[1],
+                        round(float(means[0]), 4),
+                        round(float(means[1]), 4),
+                        round(float(means[2]), 4),
+                        p,
+                    )
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in DECODE_STATS_SCHEMA])
+
+    cols = ["image_id", "bytes", "fmt"] + (
+        ["phash"] if check_against_phash else []
+    )
+    return images.select(*cols).mapInPandas(run, DECODE_STATS_SCHEMA)
+
+
+MOSAIC_SCHEMA = T.StructType(
+    [
+        T.StructField("hex_cell", T.LongType()),
+        T.StructField("n_images", T.IntegerType()),
+        T.StructField("n_dropped", T.IntegerType()),
+        T.StructField("grid", T.IntegerType()),
+        T.StructField("tile_w", T.IntegerType()),
+        T.StructField("tile_h", T.IntegerType()),
+        T.StructField("mosaic_png", T.BinaryType()),
+    ]
+)
+
+
+def assemble_mosaic_pdf(
+    pdf: pd.DataFrame, cell_px: int = 32, max_images_per_cell: int = 256
+) -> pd.DataFrame:
+    """One cell's mosaic: deterministic order, bounded canvas."""
+    pdf = pdf.sort_values("image_id")
+    n_total = len(pdf)
+    pdf = pdf.head(max_images_per_cell)
+    n = len(pdf)
+    grid = max(int(math.ceil(math.sqrt(n))), 1)
+    canvas = np.zeros((grid * cell_px, grid * cell_px, 3), dtype=np.uint8)
+    for i, (_, row) in enumerate(pdf.iterrows()):
+        img = decode_image(row["bytes"], row["fmt"])
+        hh = min(img.shape[0], cell_px)
+        ww = min(img.shape[1], cell_px)
+        r, c = divmod(i, grid)
+        canvas[r * cell_px : r * cell_px + hh, c * cell_px : c * cell_px + ww] = img[
+            :hh, :ww
+        ]
+    return pd.DataFrame(
+        [
+            (
+                int(pdf["hex_cell"].iloc[0]) if n else None,
+                n,
+                n_total - n,
+                grid,
+                canvas.shape[1],
+                canvas.shape[0],
+                png_encode(canvas),
+            )
+        ],
+        columns=[f.name for f in MOSAIC_SCHEMA],
+    )
+
+
+def mosaic_by_cell(
+    images_geo: DataFrame, cell_px: int = 32, max_images_per_cell: int = 256
+) -> DataFrame:
+    """A10: groupBy(hex_cell).applyInPandas(assemble_mosaic).
+
+    The shuffle key is the cell; skewed cells are bounded by the cap, so
+    the max task payload is max_images_per_cell * image_size.
+    """
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return assemble_mosaic_pdf(pdf, cell_px, max_images_per_cell)
+
+    return images_geo.select("hex_cell", "image_id", "bytes", "fmt").groupBy(
+        "hex_cell"
+    ).applyInPandas(fn, MOSAIC_SCHEMA)

@@ -1,0 +1,162 @@
+"""The flagship end-to-end job: geotag -> tile -> kNN -> categorize ->
+snapshot-table commit, chunked + checkpointed + resumable.
+
+This is the Spark lifecycle equivalent of the reference's Compare entry
+point (task/CompareData.java:1388-1445 -> startCompare 1324-1386 ->
+compareBusStopData 1000-1290), generalized per the north rule:
+
+  images --phash_latlon--> (lat,lon) --hex/s2 cells--> tiles
+         --ring-join features, haversine<400, kNN k=5--> nearest feature
+         --id-match priority window--> 4-way category
+         --SnapTable.append (atomic, with per-chunk lineage/metrics)-->
+
+Resume: chunk ids already committed for run_id are skipped; because the
+synth source is id-deterministic and every operator is a pure function of
+its input, a killed run + resume produces byte-identical table contents
+(tested in tests/test_resume.py).
+
+At cluster scale each "chunk" is an input partition batch (e.g. a date
+or id range of the 10^12-row table); the checkpoint rides the same
+atomic commit as the data so there is no lost+recomputed window.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from .operators.spatial_join import (
+    DEFAULT_K,
+    DEFAULT_RADIUS_M,
+    ERROR_TO_ZERO_M,
+    geotag_images,
+    radius_join,
+)
+from .sources.snaptable import SnapTable
+from . import synth
+
+
+class InjectedFailure(RuntimeError):
+    """Raised by the fault-injection hook in resume tests."""
+
+
+def assign_images(
+    images: DataFrame,
+    features: DataFrame,
+    radius_m: float = DEFAULT_RADIUS_M,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Per image: tile cells + nearest feature + match category.
+
+    One radius join feeds two windows (nearest-by-distance for the kNN
+    head, id-match-priority for the category) — the pairs are computed
+    once, not twice.
+    """
+    geo = geotag_images(images)
+    img_key = F.lpad(
+        F.regexp_replace(F.regexp_replace("image_id", "^img", ""), "^0+", ""), 8, "0"
+    )
+    geo = geo.withColumn("gtfs_id_img", img_key)
+    pairs = radius_join(geo, features, radius_m).withColumn(
+        "id_match",
+        F.when(
+            F.col("gtfs_id").isNotNull() & (F.col("gtfs_id") == F.col("gtfs_id_img")), 1
+        ).otherwise(0),
+    )
+    w_near = W.partitionBy("image_id").orderBy(F.asc("dist_m"), F.asc("feature_id"))
+    w_best = W.partitionBy("image_id").orderBy(
+        F.desc("id_match"), F.asc("dist_m"), F.asc("feature_id")
+    )
+    ranked = pairs.withColumn("rn_near", F.row_number().over(w_near)).withColumn(
+        "rn_best", F.row_number().over(w_best)
+    )
+    nearest = ranked.filter(F.col("rn_near") == 1).select(
+        "image_id",
+        F.col("feature_id").alias("nearest_feature_id"),
+        F.round("dist_m", 6).alias("nearest_dist_m"),
+    )
+    best = ranked.filter(F.col("rn_best") == 1).select(
+        "image_id",
+        F.col("feature_id").alias("match_feature_id"),
+        F.col("dist_m").alias("match_dist_m"),
+        "id_match",
+    )
+    out = (
+        geo.select("image_id", "phash", "caption", "lat", "lon", "hex_cell", "s2_cell")
+        .join(nearest, "image_id", "left")
+        .join(best, "image_id", "left")
+    )
+    return out.withColumn(
+        "category",
+        F.when(F.col("id_match").isNull(), "UPLOAD_NO_CONFLICT")
+        .when(
+            (F.col("id_match") == 1) & (F.col("match_dist_m") <= ERROR_TO_ZERO_M),
+            "NOTHING_NEW",
+        )
+        .when(F.col("id_match") == 1, "MODIFY")
+        .otherwise("UPLOAD_CONFLICT"),
+    ).drop("match_dist_m", "id_match")
+
+
+@dataclass
+class RunResult:
+    run_id: str
+    chunks_run: list[int]
+    chunks_skipped: list[int]
+    rows_out: int
+    versions: list[int]
+
+
+def run_flagship(
+    spark: SparkSession,
+    n_images: int,
+    table_root: str,
+    run_id: str = "run1",
+    n_chunks: int = 8,
+    n_features: int | None = None,
+    fail_after_chunks: int | None = None,
+) -> RunResult:
+    """Chunked, checkpointed, resumable flagship run over the synthetic
+    images table. fail_after_chunks injects a mid-run crash for tests."""
+    table = SnapTable(table_root)
+    done = table.processed_chunks(run_id)
+    features = synth.generate_features(spark, n_images, n_features)
+
+    chunk_size = (n_images + n_chunks - 1) // n_chunks
+    ran: list[int] = []
+    skipped: list[int] = []
+    versions: list[int] = []
+    total_rows = 0
+    for chunk in range(n_chunks):
+        if chunk in done:
+            skipped.append(chunk)
+            continue
+        lo = chunk * chunk_size
+        hi = min(lo + chunk_size, n_images)
+        if lo >= hi:
+            continue
+        t0 = time.time()
+        images = synth.generate_images(spark, hi, start=lo)
+        out = assign_images(images, features)
+        rows = out.count()
+        version = table.append(
+            out,
+            checkpoint={
+                "run_id": run_id,
+                "chunks": [chunk],
+                "id_range": [lo, hi],
+                "rows_in": hi - lo,
+                "rows_out": rows,
+                "wall_ms": int((time.time() - t0) * 1000),
+            },
+        )
+        versions.append(version)
+        ran.append(chunk)
+        total_rows += rows
+        if fail_after_chunks is not None and len(ran) >= fail_after_chunks:
+            raise InjectedFailure(f"injected failure after {len(ran)} chunks")
+    return RunResult(run_id, ran, skipped, total_rows, versions)

@@ -140,15 +140,21 @@ def gen_images_pdf(ids: np.ndarray) -> pd.DataFrame:
     )
 
 
-def generate_images(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
-    """Distributed deterministic images table (mapInPandas over a range)."""
+def generate_images(
+    spark: SparkSession, n: int, partitions: int | None = None, start: int = 0
+) -> DataFrame:
+    """Distributed deterministic images table (mapInPandas over a range).
+
+    Rows for ids [start, n) are identical no matter how the range is
+    chunked or partitioned — the resume contract relies on this.
+    """
     parts = partitions or max(spark.sparkContext.defaultParallelism, 4)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield gen_images_pdf(pdf["id"].to_numpy())
 
-    return spark.range(0, n, 1, parts).mapInPandas(gen, IMAGES_SCHEMA)
+    return spark.range(start, n, 1, parts).mapInPandas(gen, IMAGES_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

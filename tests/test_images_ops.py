@@ -1,0 +1,60 @@
+"""Image-column operators: decode stats (PSNR invariant) and mosaics."""
+
+import math
+
+import numpy as np
+
+from gtfs_osm_sync_spark import synth
+from gtfs_osm_sync_spark.functions.codecs import png_decode
+from gtfs_osm_sync_spark.operators import images as IMG
+from gtfs_osm_sync_spark.operators.spatial_join import geotag_images
+
+
+def test_decode_stats_psnr_invariant(spark):
+    images = synth.generate_images(spark, 300, partitions=4)
+    stats = IMG.decode_stats(images).toPandas()
+    assert len(stats) == 300
+    png_rows = stats[stats["image_id"].map(lambda s: int(s[3:]) % 2 == 0)]
+    jpg_rows = stats[stats["image_id"].map(lambda s: int(s[3:]) % 2 == 1)]
+    # png is lossless -> infinite PSNR; lossy stand-in >= 40 dB (input_hint)
+    assert (png_rows["psnr_db"] == float("inf")).all()
+    assert (jpg_rows["psnr_db"] >= 40.0).all()
+
+
+def test_mosaic_deterministic_and_decodable(spark):
+    images = synth.generate_images(spark, 800, partitions=5)
+    geo = geotag_images(images)
+    m1 = IMG.mosaic_by_cell(geo).toPandas().sort_values("hex_cell").reset_index(drop=True)
+    m2 = IMG.mosaic_by_cell(geo).toPandas().sort_values("hex_cell").reset_index(drop=True)
+    assert list(m1["hex_cell"]) == list(m2["hex_cell"])
+    assert m1["mosaic_png"].map(bytes).tolist() == m2["mosaic_png"].map(bytes).tolist()
+    assert (m1["n_images"] >= 1).all()
+    # each mosaic decodes to the declared canvas and grid geometry
+    for _, row in m1.head(20).iterrows():
+        img = png_decode(row["mosaic_png"])
+        assert img.shape == (row["tile_h"], row["tile_w"], 3)
+        assert row["grid"] == max(int(math.ceil(math.sqrt(row["n_images"]))), 1)
+
+
+def test_mosaic_content_matches_local_assembly(spark):
+    images = synth.generate_images(spark, 400, partitions=4)
+    geo = geotag_images(images)
+    got = IMG.mosaic_by_cell(geo).toPandas()
+    # rebuild one multi-image cell locally from first principles
+    multi = got[got["n_images"] >= 2].iloc[0]
+    cell = int(multi["hex_cell"])
+    member_pdf = (
+        geo.filter(geo.hex_cell == cell)
+        .select("hex_cell", "image_id", "bytes", "fmt")
+        .toPandas()
+    )
+    local = IMG.assemble_mosaic_pdf(member_pdf)
+    assert bytes(local["mosaic_png"].iloc[0]) == bytes(multi["mosaic_png"])
+
+
+def test_mosaic_cap_bounds_skew(spark):
+    images = synth.generate_images(spark, 600, partitions=4)
+    geo = geotag_images(images)
+    capped = IMG.mosaic_by_cell(geo, max_images_per_cell=2).toPandas()
+    assert (capped["n_images"] <= 2).all()
+    assert (capped["n_images"] + capped["n_dropped"] >= 1).all()
