@@ -938,3 +938,259 @@ def p01(spark, sf_dir):
         MP.squeeze_whitespace(F.col("p_type")).alias("type_squeezed"),
         MP.xml_escape(F.col("p_name")).alias("name_escaped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F. PIP oracle, scored route join, window frames, cube
+# ---------------------------------------------------------------------------
+
+from .synth import wkb_polygon  # noqa: E402
+from .operators import pip as PIPOP  # noqa: E402
+
+# three fixed pentagons over cluster bases 2/7/12 of the synth coord space
+# (literal coords — the DuckDB oracle unrolls the exact even-odd crossing
+# test per edge, proving the engine's vectorized ray-casting UDF correct)
+_PIP_POLYS: dict[str, list[tuple[float, float]]] = {
+    "tri_a": [(-121.0, -45.5), (-118.0, -45.0), (-119.5, -42.0)],
+    "pent_b": [(-28.5, -10.5), (-26.0, -9.8), (-25.5, -7.2), (-27.8, -6.5), (-29.3, -8.4)],
+    "quad_c": [(69.0, 26.0), (72.5, 26.4), (72.0, 29.8), (68.6, 29.2)],
+}
+
+
+def _pip_case_sql(lat: str, lon: str, ring: list[tuple[float, float]]) -> str:
+    pts = list(ring)
+    if pts[0] != pts[-1]:
+        pts.append(pts[0])
+    terms = []
+    for (x1, y1), (x2, y2) in zip(pts[:-1], pts[1:]):
+        terms.append(
+            f"(CASE WHEN (({y1!r} > {lat}) <> ({y2!r} > {lat})) AND "
+            f"({lon} < ({x2!r} - {x1!r}) * ({lat} - {y1!r}) / ({y2!r} - {y1!r}) + {x1!r}) "
+            f"THEN 1 ELSE 0 END)"
+        )
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+_PIP_UNION_SQL = " UNION ALL ".join(
+    f"SELECT c_custkey, '{pid}' AS poly_id FROM customer_geo "
+    f"WHERE {_pip_case_sql('lat', 'lon', ring)}"
+    for pid, ring in _PIP_POLYS.items()
+)
+
+
+@register(
+    "q13_point_in_polygon",
+    f"""
+    WITH {_CUST_SQL}
+    {_PIP_UNION_SQL}
+    """,
+)
+def q13(spark, sf_dir):
+    """PIP join: engine's WKB ray-casting pandas UDF vs the oracle's
+    unrolled per-edge crossing SQL (north_rule custom operator)."""
+    cust = _cust_coords(spark, sf_dir)
+    rows = []
+    for pid, ring in _PIP_POLYS.items():
+        lats = [p[1] for p in ring]
+        lons = [p[0] for p in ring]
+        rows.append(
+            (pid, wkb_polygon(ring), min(lats), max(lats), min(lons), max(lons))
+        )
+    polys = spark.createDataFrame(
+        rows, "poly_id string, wkb binary, min_lat double, max_lat double, "
+        "min_lon double, max_lon double"
+    )
+    out = PIPOP.pip_join(
+        cust.select(F.col("c_custkey").cast("string").alias("ck"), "lat", "lon"),
+        polys,
+        id_col="ck",
+    )
+    return out.select(F.col("ck").cast("bigint").alias("c_custkey"), "poly_id")
+
+
+@register(
+    "q14_scored_route_join",
+    """
+    WITH variants AS (
+      SELECT l_orderkey AS o_orderkey,
+             md5(string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY l_linenumber))
+               AS variant_sig
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    sides AS (
+      SELECT o.o_orderkey, o.o_custkey, o.o_orderpriority, v.variant_sig
+      FROM orders o JOIN variants v ON o.o_orderkey = v.o_orderkey
+    ),
+    rels AS (
+      SELECT o_orderkey AS rel_id, o_custkey AS rel_custkey,
+             o_orderpriority AS rel_priority, variant_sig AS rel_sig
+      FROM sides WHERE o_orderkey % 97 = 0
+    ),
+    tiered AS (
+      SELECT s.o_orderkey, r.rel_id, 1000 AS tier
+      FROM sides s JOIN rels r ON s.variant_sig = r.rel_sig
+      UNION ALL
+      SELECT s.o_orderkey, r.rel_id, 600 AS tier
+      FROM sides s JOIN rels r ON s.o_custkey = r.rel_custkey
+      UNION ALL
+      SELECT s.o_orderkey, r.rel_id, 300 AS tier
+      FROM sides s JOIN rels r
+        ON s.o_custkey % 500 = r.rel_custkey % 500
+       AND s.o_orderpriority = r.rel_priority
+    ),
+    scored AS (
+      SELECT o_orderkey, rel_id,
+             tier - (CAST(row_number() OVER (PARTITION BY o_orderkey, tier
+                       ORDER BY rel_id) AS INT) - 1) AS score
+      FROM tiered
+    )
+    SELECT o_orderkey, rel_id, score FROM (
+      SELECT o_orderkey, rel_id, score,
+             row_number() OVER (PARTITION BY o_orderkey
+                                ORDER BY score DESC, rel_id) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def q14(spark, sf_dir):
+    """J7: the scored 3-tier route/relation join with tie-decrement
+    (CompareData.java:920-995 scores 959-986: trip 1000 / route 600 /
+    short-name 300, score-- per extra candidate; best per trip)."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    (orders,) = load(spark, sf_dir, "orders")
+    variants = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("l_linenumber", "l_partkey"))),
+                    lambda x: x["l_partkey"].cast("string"),
+                ),
+            )
+        ).alias("variant_sig")
+    )
+    sides = orders.join(variants, "o_orderkey").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "variant_sig"
+    )
+    rels = sides.filter(F.col("o_orderkey") % 97 == 0).select(
+        F.col("o_orderkey").alias("rel_id"),
+        F.col("o_custkey").alias("rel_custkey"),
+        F.col("o_orderpriority").alias("rel_priority"),
+        F.col("variant_sig").alias("rel_sig"),
+    )
+    rels = F.broadcast(rels)
+    t1 = sides.join(rels, sides.variant_sig == rels.rel_sig).select(
+        "o_orderkey", "rel_id", F.lit(1000).alias("tier")
+    )
+    t2 = sides.join(rels, sides.o_custkey == rels.rel_custkey).select(
+        "o_orderkey", "rel_id", F.lit(600).alias("tier")
+    )
+    t3 = sides.join(
+        rels,
+        (sides.o_custkey % 500 == rels.rel_custkey % 500)
+        & (sides.o_orderpriority == rels.rel_priority),
+    ).select("o_orderkey", "rel_id", F.lit(300).alias("tier"))
+    tiered = t1.unionByName(t2).unionByName(t3)
+    w_tier = W.partitionBy("o_orderkey", "tier").orderBy("rel_id")
+    scored = tiered.withColumn(
+        "score", F.col("tier") - (F.row_number().over(w_tier) - 1)
+    )
+    w_best = W.partitionBy("o_orderkey").orderBy(F.desc("score"), F.asc("rel_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select("o_orderkey", "rel_id", "score")
+    )
+
+
+@register(
+    "q15_window_frames",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(sum(l_extendedprice) OVER (PARTITION BY l_orderkey
+             ORDER BY l_linenumber ROWS UNBOUNDED PRECEDING), 2) AS running_price,
+           round(avg(l_quantity) OVER (PARTITION BY l_orderkey
+             ORDER BY l_linenumber ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 4)
+             AS centered_avg_qty,
+           round(coalesce(lag(l_extendedprice) OVER (PARTITION BY l_orderkey
+             ORDER BY l_linenumber), 0.0), 2) AS prev_price,
+           CAST(rank() OVER (PARTITION BY l_orderkey
+             ORDER BY l_quantity DESC, l_linenumber) AS INT) AS qty_rank
+    FROM lineitem WHERE l_orderkey % 50 = 0
+    """,
+)
+def q15(spark, sf_dir):
+    """Window frames: running sum, centered rows-between avg, lag, rank
+    (SURVEY §2.5 — Spark windows replacing the reference's TreeMaps)."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    li = li.filter(F.col("l_orderkey") % 50 == 0)
+    w = W.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.sum("l_extendedprice").over(w.rowsBetween(W.unboundedPreceding, 0)), 2
+        ).alias("running_price"),
+        F.round(F.avg("l_quantity").over(w.rowsBetween(-1, 1)), 4).alias(
+            "centered_avg_qty"
+        ),
+        F.round(F.coalesce(F.lag("l_extendedprice").over(w), F.lit(0.0)), 2).alias(
+            "prev_price"
+        ),
+        F.rank()
+        .over(W.partitionBy("l_orderkey").orderBy(F.desc("l_quantity"), "l_linenumber"))
+        .cast("int")
+        .alias("qty_rank"),
+    )
+
+
+@register(
+    "q16_cube_rollup",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q16(spark, sf_dir):
+    """CUBE grouping sets (built-in Catalyst; absent in the reference —
+    SURVEY §2.4 'grouping sets: built-in if needed')."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@register(
+    "q17_pivot",
+    """
+    SELECT l_suppkey,
+           round(coalesce(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 0), 2) AS qty_a,
+           round(coalesce(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 0), 2) AS qty_n,
+           round(coalesce(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 0), 2) AS qty_r
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def q17(spark, sf_dir):
+    """Pivot (conditional aggregation form)."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_suppkey")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum("l_quantity"))
+    )
+    return p.select(
+        "l_suppkey",
+        F.round(F.coalesce(F.col("A"), F.lit(0.0)), 2).alias("qty_a"),
+        F.round(F.coalesce(F.col("N"), F.lit(0.0)), 2).alias("qty_n"),
+        F.round(F.coalesce(F.col("R"), F.lit(0.0)), 2).alias("qty_r"),
+    )
