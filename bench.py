@@ -51,6 +51,28 @@ def run_bench(sf_dir: str, cpus: int, queries: list[str] | None = None) -> dict:
     # flagship throughput: left-side rows pushed through the kNN spatial join
     left_rows = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
     knn_sec = per_query.get("q10_knn", float("nan"))
+
+    # BASELINE.json headline: the images pipeline (synthesize -> geotag ->
+    # hex-ring radius join -> kNN + 4-way category) in images/sec at an
+    # sf-scaled row count
+    from pyspark.sql import functions as F
+    from gtfs_osm_sync_spark import synth
+    from gtfs_osm_sync_spark.pipeline import assign_images
+
+    try:
+        sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    except ValueError:
+        sf = 0.1
+    n_img = max(int(1_000_000 * sf), 20_000)
+    geo = synth.generate_geo_only(spark, n_img, partitions=cpus * 4)
+    feats = synth.generate_features(spark, n_img, max(n_img // 50, 8))
+    t0 = time.time()
+    out = assign_images(geo, feats)
+    out.agg(
+        F.sum(F.hash("image_id", "category", "nearest_feature_id", "hex_cell"))
+    ).collect()
+    t_img = time.time() - t0
+
     return {
         "metric": "headline query wall-clock (flagship kNN spatial join first)",
         "value": total,
@@ -63,6 +85,12 @@ def run_bench(sf_dir: str, cpus: int, queries: list[str] | None = None) -> dict:
             "left_rows": left_rows,
             "result_rows": flagship_rows,
             "rows_per_sec": round(left_rows / knn_sec, 1) if knn_sec else None,
+        },
+        "flagship_images": {
+            "pipeline": "synth+geotag+hex-ring radius join+kNN+category",
+            "n_images": n_img,
+            "wall_sec": round(t_img, 3),
+            "images_per_sec": round(n_img / t_img, 1),
         },
     }
 

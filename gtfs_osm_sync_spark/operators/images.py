@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from ..functions.codecs import decode_image, png_encode, psnr
+from ..synth import pixels_for
 
 
 DECODE_STATS_SCHEMA = T.StructType(
@@ -53,12 +54,9 @@ def decode_stats(images: DataFrame, check_against_phash: bool = True) -> DataFra
                 img = decode_image(row["bytes"], row["fmt"])
                 p = float("nan")
                 if check_against_phash and "phash" in pdf.columns:
-                    rng = np.random.Generator(
-                        np.random.PCG64(int(np.uint64(np.int64(row["phash"]))))
+                    orig = pixels_for(
+                        int(np.uint64(np.int64(row["phash"]))), img.shape[0], img.shape[1]
                     )
-                    orig = rng.integers(
-                        0, 256, size=img.shape, dtype=np.uint16
-                    ).astype(np.uint8)
                     p = psnr(orig, img)
                 means = img.reshape(-1, 3).mean(axis=0)
                 out.append(

@@ -29,6 +29,8 @@ Scale notes (the part that matters at 100 TB):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -51,18 +53,28 @@ HEX_RES = 9
 def geotag_images(images: DataFrame) -> DataFrame:
     """images + (lat, lon, hex_cell, s2_cell) derived columns.
 
-    One map-only stage: two vectorized pandas UDFs, no shuffle.
+    One map-only stage and ONE fused Arrow round-trip: a single pandas UDF
+    computes geotag + both cell ids per batch (three separate UDFs would
+    triple the Python worker serde for the same numbers).
     """
-    ph_ll = make_phash_latlon_udf()
-    hexc = make_hex_cell_udf(HEX_RES)
-    s2c = make_s2_cell_udf(15)
-    out = images.withColumn("_ll", ph_ll(F.col("phash")))
-    out = out.select("*", F.col("_ll.lat").alias("lat"), F.col("_ll.lon").alias("lon")).drop(
-        "_ll"
-    )
-    return out.withColumn("hex_cell", hexc("lat", "lon")).withColumn(
-        "s2_cell", s2c("lat", "lon")
-    )
+    from ..functions.cells import hex_cell_np, s2_cell_np
+    from ..synth import phash_latlon_np
+
+    @F.pandas_udf("lat double, lon double, hex_cell long, s2_cell long")
+    def geotag(phash: pd.Series) -> pd.DataFrame:
+        ph = phash.to_numpy(np.int64)
+        lat, lon = phash_latlon_np(ph)
+        return pd.DataFrame(
+            {
+                "lat": lat,
+                "lon": lon,
+                "hex_cell": hex_cell_np(lat, lon, HEX_RES),
+                "s2_cell": s2_cell_np(lat, lon, 15),
+            }
+        )
+
+    out = images.withColumn("_g", geotag(F.col("phash")))
+    return out.select("*", "_g.lat", "_g.lon", "_g.hex_cell", "_g.s2_cell").drop("_g")
 
 
 def features_with_ring_cells(

@@ -27,7 +27,6 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import Window as W
 
 from .operators.spatial_join import (
     DEFAULT_K,
@@ -45,61 +44,68 @@ class InjectedFailure(RuntimeError):
 
 
 def assign_images(
-    images: DataFrame,
+    images_geo: DataFrame,
     features: DataFrame,
     radius_m: float = DEFAULT_RADIUS_M,
     k: int = DEFAULT_K,
+    broadcast_features: bool = True,
 ) -> DataFrame:
     """Per image: tile cells + nearest feature + match category.
 
-    One radius join feeds two windows (nearest-by-distance for the kNN
-    head, id-match-priority for the category) — the pairs are computed
-    once, not twice.
+    Shuffle budget: the radius join is map-only (broadcast features), and
+    BOTH the nearest-by-distance head and the id-match-priority best
+    reduce in ONE partial-aggregatable groupBy via min(struct(...)) —
+    lexicographic struct ordering encodes the (dist, feature_id) and
+    (id_match desc, dist, feature_id) priorities. No windows, no plan
+    branching (a windowed formulation recomputes the scan lineage per
+    branch), map-side combine shrinks pairs to per-image rows before the
+    only shuffle. The final left join restores images with no candidate.
+
+    images_geo must already carry lat/lon/hex_cell (geotag_images) — at
+    scale that is the stored table scan, and callers persist the chunk.
     """
-    geo = geotag_images(images)
-    img_key = F.lpad(
-        F.regexp_replace(F.regexp_replace("image_id", "^img", ""), "^0+", ""), 8, "0"
+    geo = images_geo.withColumn(
+        "gtfs_id_img",
+        F.lpad(
+            F.regexp_replace(F.regexp_replace("image_id", "^img", ""), "^0+", ""), 8, "0"
+        ),
     )
-    geo = geo.withColumn("gtfs_id_img", img_key)
-    pairs = radius_join(geo, features, radius_m).withColumn(
+    pairs = radius_join(geo, features, radius_m, broadcast_features).withColumn(
         "id_match",
         F.when(
             F.col("gtfs_id").isNotNull() & (F.col("gtfs_id") == F.col("gtfs_id_img")), 1
         ).otherwise(0),
     )
-    w_near = W.partitionBy("image_id").orderBy(F.asc("dist_m"), F.asc("feature_id"))
-    w_best = W.partitionBy("image_id").orderBy(
-        F.desc("id_match"), F.asc("dist_m"), F.asc("feature_id")
+    agg = pairs.groupBy("image_id").agg(
+        F.min(F.struct(F.col("dist_m"), F.col("feature_id"))).alias("_near"),
+        F.min(
+            F.struct(
+                (1 - F.col("id_match")).alias("inv_match"),
+                F.col("dist_m"),
+                F.col("feature_id"),
+            )
+        ).alias("_best"),
     )
-    ranked = pairs.withColumn("rn_near", F.row_number().over(w_near)).withColumn(
-        "rn_best", F.row_number().over(w_best)
-    )
-    nearest = ranked.filter(F.col("rn_near") == 1).select(
-        "image_id",
-        F.col("feature_id").alias("nearest_feature_id"),
-        F.round("dist_m", 6).alias("nearest_dist_m"),
-    )
-    best = ranked.filter(F.col("rn_best") == 1).select(
-        "image_id",
-        F.col("feature_id").alias("match_feature_id"),
-        F.col("dist_m").alias("match_dist_m"),
-        "id_match",
-    )
-    out = (
-        geo.select("image_id", "phash", "caption", "lat", "lon", "hex_cell", "s2_cell")
-        .join(nearest, "image_id", "left")
-        .join(best, "image_id", "left")
-    )
-    return out.withColumn(
-        "category",
-        F.when(F.col("id_match").isNull(), "UPLOAD_NO_CONFLICT")
+    base_cols = [
+        c
+        for c in ("image_id", "phash", "caption", "lat", "lon", "hex_cell", "s2_cell")
+        if c in images_geo.columns
+    ]
+    out = geo.select(*base_cols).join(agg, "image_id", "left")
+    return out.select(
+        *base_cols,
+        F.col("_near.feature_id").alias("nearest_feature_id"),
+        F.round(F.col("_near.dist_m"), 6).alias("nearest_dist_m"),
+        F.col("_best.feature_id").alias("match_feature_id"),
+        F.when(F.col("_best").isNull(), "UPLOAD_NO_CONFLICT")
         .when(
-            (F.col("id_match") == 1) & (F.col("match_dist_m") <= ERROR_TO_ZERO_M),
+            (F.col("_best.inv_match") == 0) & (F.col("_best.dist_m") <= ERROR_TO_ZERO_M),
             "NOTHING_NEW",
         )
-        .when(F.col("id_match") == 1, "MODIFY")
-        .otherwise("UPLOAD_CONFLICT"),
-    ).drop("match_dist_m", "id_match")
+        .when(F.col("_best.inv_match") == 0, "MODIFY")
+        .otherwise("UPLOAD_CONFLICT")
+        .alias("category"),
+    )
 
 
 @dataclass
@@ -141,7 +147,11 @@ def run_flagship(
             continue
         t0 = time.time()
         images = synth.generate_images(spark, hi, start=lo)
-        out = assign_images(images, features)
+        # materialize the geotagged chunk once — the scan side is consumed
+        # twice (pair join + final left join); at cluster scale this is the
+        # stored-table read, here it's an explicit persist
+        geo = geotag_images(images).drop("bytes").persist()
+        out = assign_images(geo, features)
         rows = out.count()
         version = table.append(
             out,
@@ -154,6 +164,7 @@ def run_flagship(
                 "wall_ms": int((time.time() - t0) * 1000),
             },
         )
+        geo.unpersist()
         versions.append(version)
         ran.append(chunk)
         total_rows += rows

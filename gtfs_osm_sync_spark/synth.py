@@ -63,12 +63,20 @@ def cluster_center(cluster: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return lat, lon
 
 
-def phash_latlon_np(phash: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Deterministic geotag: phash -> (lat, lon) with urban skew."""
+def phash_latlon_np(
+    phash: np.ndarray, spread_scale: float = 1.0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic geotag: phash -> (lat, lon) with urban skew.
+
+    spread_scale grows every cluster's radius (world area ~ scale^2) —
+    benchmarks pass scale = sqrt(n / 500k) so spatial DENSITY stays
+    constant as n grows (otherwise the radius-join pair count grows
+    quadratically with n, which no engine survives). Default 1.0 keeps
+    the golden test world unchanged."""
     ph = np.asarray(phash).view(np.uint64) if np.asarray(phash).dtype == np.int64 else np.asarray(phash, dtype=np.uint64)
     cl = cluster_of(ph)
     clat, clon = cluster_center(cl)
-    spread = np.where(cl % URBAN_MOD == 0, URBAN_SPREAD_DEG, RURAL_SPREAD_DEG)
+    spread = np.where(cl % URBAN_MOD == 0, URBAN_SPREAD_DEG, RURAL_SPREAD_DEG) * spread_scale
     f1 = (splitmix64(ph ^ np.uint64(0xA5A5)) % np.uint64(2_000_001)).astype(np.float64) / 1e6 - 1.0
     f2 = (splitmix64(ph ^ np.uint64(0x5A5A)) % np.uint64(2_000_001)).astype(np.float64) / 1e6 - 1.0
     return clat + f1 * spread, clon + f2 * spread
@@ -91,6 +99,41 @@ _WORDS = (
     "plaza bridge market station river park tower museum harbor garden "
     "street corner fountain gallery castle library stadium chapel mill dock"
 ).split()
+
+_PIX_GOLD = np.uint64(0xD1B54A32D192ED03)
+
+
+def pixels_for(phash: int, h: int, w: int) -> np.ndarray:
+    """Deterministic pixels of one image: counter-mode splitmix64 keyed by
+    phash (vectorized; the oracle-side reconstruction used by PSNR checks)."""
+    npix = h * w * 3
+    nwords = (npix + 7) // 8
+    with np.errstate(over="ignore"):  # uint64 wraparound is the intent
+        base = np.uint64(phash) * _PIX_GOLD
+        words = splitmix64(base + np.arange(nwords, dtype=np.uint64))
+    return words.view(np.uint8)[:npix].reshape(h, w, 3).copy()
+
+
+def pixels_batch(uph: np.ndarray, h: np.ndarray, w: np.ndarray) -> list[np.ndarray]:
+    """pixels_for over a batch with ONE vectorized splitmix64 call."""
+    npix = (h * w * 3).astype(np.int64)
+    nwords = (npix + 7) // 8
+    total = int(nwords.sum())
+    # counter stream: per-image base + intra-image offset
+    offsets = np.concatenate([[0], np.cumsum(nwords)[:-1]])
+    with np.errstate(over="ignore"):
+        idx = np.arange(total, dtype=np.uint64) - np.repeat(
+            offsets.astype(np.uint64), nwords
+        )
+        bases = np.repeat(uph * _PIX_GOLD, nwords)
+        words = splitmix64(bases + idx)
+    flat = words.view(np.uint8)
+    out = []
+    for i in range(len(uph)):
+        lo = int(offsets[i]) * 8
+        out.append(flat[lo : lo + int(npix[i])].reshape(int(h[i]), int(w[i]), 3).copy())
+    return out
+
 
 IMAGES_SCHEMA = T.StructType(
     [
@@ -120,13 +163,10 @@ def gen_images_pdf(ids: np.ndarray) -> pd.DataFrame:
         f"a photo of the {_WORDS[a]} near the {_WORDS[b]} {_WORDS[c]}"
         for a, b, c in zip(w1, w2, w3)
     ]
-    blobs = []
-    for i in range(len(ids)):
-        rng = np.random.Generator(np.random.PCG64(int(uph[i])))
-        img = rng.integers(0, 256, size=(int(h[i]), int(w[i]), 3), dtype=np.uint16).astype(
-            np.uint8
-        )
-        blobs.append(encode_image(img, str(fmt[i])))
+    pix = pixels_batch(uph, h, w)
+    blobs = [
+        encode_image(img, str(f)) for img, f in zip(pix, fmt)
+    ]
     return pd.DataFrame(
         {
             "image_id": [f"img{int(i):012d}" for i in ids],
@@ -157,6 +197,93 @@ def generate_images(
     return spark.range(start, n, 1, parts).mapInPandas(gen, IMAGES_SCHEMA)
 
 
+IMAGES_GEO_SCHEMA = T.StructType(
+    IMAGES_SCHEMA.fields
+    + [
+        T.StructField("lat", T.DoubleType(), True),
+        T.StructField("lon", T.DoubleType(), True),
+        T.StructField("hex_cell", T.LongType(), True),
+        T.StructField("s2_cell", T.LongType(), True),
+    ]
+)
+
+
+def generate_images_geo(
+    spark: SparkSession,
+    n: int,
+    partitions: int | None = None,
+    start: int = 0,
+    spread_scale: float = 1.0,
+) -> DataFrame:
+    """generate_images + geotag fused into ONE python stage.
+
+    Identical rows to geotag_images(generate_images(...)) but the binary
+    payload crosses the Python<->JVM Arrow boundary once instead of three
+    times — at 10^12 rows the payload column dominates the serde budget,
+    so ingestion jobs should always use the fused generator.
+    """
+    from .functions.cells import hex_cell_np, s2_cell_np
+
+    parts = partitions or max(spark.sparkContext.defaultParallelism, 4)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = gen_images_pdf(pdf["id"].to_numpy())
+            lat, lon = phash_latlon_np(out["phash"].to_numpy(np.int64), spread_scale)
+            out["lat"] = lat
+            out["lon"] = lon
+            out["hex_cell"] = hex_cell_np(lat, lon, 9)
+            out["s2_cell"] = s2_cell_np(lat, lon, 15)
+            yield out
+
+    return spark.range(start, n, 1, parts).mapInPandas(gen, IMAGES_GEO_SCHEMA)
+
+
+GEO_ONLY_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("phash", T.LongType(), True),
+        T.StructField("lat", T.DoubleType(), True),
+        T.StructField("lon", T.DoubleType(), True),
+        T.StructField("hex_cell", T.LongType(), True),
+        T.StructField("s2_cell", T.LongType(), True),
+    ]
+)
+
+
+def generate_geo_only(
+    spark: SparkSession,
+    n: int,
+    partitions: int | None = None,
+    start: int = 0,
+    spread_scale: float = 1.0,
+) -> DataFrame:
+    """Metadata-only view of the images table (no payload bytes) — for
+    join-side benchmarks and very large staged inputs. Same ids, phash,
+    and geotags as generate_images_geo."""
+    from .functions.cells import hex_cell_np, s2_cell_np
+
+    parts = partitions or max(spark.sparkContext.defaultParallelism, 4)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy().astype(np.uint64)
+            phash = splitmix64(ids).view(np.int64)
+            lat, lon = phash_latlon_np(phash, spread_scale)
+            yield pd.DataFrame(
+                {
+                    "image_id": [f"img{int(i):012d}" for i in ids],
+                    "phash": phash,
+                    "lat": lat,
+                    "lon": lon,
+                    "hex_cell": hex_cell_np(lat, lon, 9),
+                    "s2_cell": s2_cell_np(lat, lon, 15),
+                }
+            )
+
+    return spark.range(start, n, 1, parts).mapInPandas(gen, GEO_ONLY_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # features table (OSM-node analog), anchored to image space
 # ---------------------------------------------------------------------------
@@ -184,7 +311,11 @@ _DELTAS_M = [0.0, 0.3, 180.0, 2500.0]
 
 
 def gen_features_pdf(
-    fids: np.ndarray, n_images: int, n_features: int, id_digits: int = 8
+    fids: np.ndarray,
+    n_images: int,
+    n_features: int,
+    id_digits: int = 8,
+    spread_scale: float = 1.0,
 ) -> pd.DataFrame:
     """Deterministic per-id feature rows. `n_features` is the TOTAL count
     (not the batch size) so anchors are invariant to batch partitioning."""
@@ -194,7 +325,7 @@ def gen_features_pdf(
         max(n_images, 1)
     )
     phash = splitmix64(anchor)
-    alat, alon = phash_latlon_np(phash.view(np.int64))
+    alat, alon = phash_latlon_np(phash.view(np.int64), spread_scale)
     delta_m = np.array([_DELTAS_M[int(i % 4)] for i in fids], dtype=np.float64)
     ang = (splitmix64(fids ^ np.uint64(7)) % np.uint64(6283)).astype(np.float64) / 1000.0
     lat = alat + np.cos(ang) * delta_m * _DEG_PER_M
@@ -235,7 +366,10 @@ def gen_features_pdf(
 
 
 def generate_features(
-    spark: SparkSession, n_images: int, n_features: int | None = None
+    spark: SparkSession,
+    n_images: int,
+    n_features: int | None = None,
+    spread_scale: float = 1.0,
 ) -> DataFrame:
     n_features = n_features or max(n_images // 50, 8)
     parts = max(spark.sparkContext.defaultParallelism // 2, 2)
@@ -244,7 +378,9 @@ def generate_features(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield gen_features_pdf(pdf["id"].to_numpy(), n_images, total)
+            yield gen_features_pdf(
+                pdf["id"].to_numpy(), n_images, total, spread_scale=spread_scale
+            )
 
     return spark.range(0, n_features, 1, parts).mapInPandas(gen, FEATURES_SCHEMA)
 

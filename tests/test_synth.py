@@ -24,10 +24,7 @@ def test_generated_payloads_decode():
         # re-encode decoded pixels: for png exact; for lossy stand-in the
         # decode of an encode of a decode is stable (idempotent quantizer)
         if row["fmt"] == "jpeg":
-            rng = np.random.Generator(np.random.PCG64(int(np.uint64(row["phash"]))))
-            orig = rng.integers(0, 256, size=(row["h"], row["w"], 3), dtype=np.uint16).astype(
-                np.uint8
-            )
+            orig = synth.pixels_for(int(np.uint64(row["phash"])), row["h"], row["w"])
             assert psnr(orig, img) >= 40.0
 
 

@@ -1,0 +1,254 @@
+"""Scaling-efficiency evidence (north_rule: throughput efficiency >= 0.8
+going N -> 4N executors).
+
+No real cluster exists in this sandbox, so N vs 4N is emulated as two
+taskset-pinned parallelism levels of the same job on the same input
+(task brief: "run the same job at two parallelism levels"). The default
+pairing is 2 vs 8 cores: measurement (BENCH/BASELINE.md) shows this VM's
+per-core throughput is flat up to ~12 busy cores and degrades ~2x at 32,
+so levels above ~12 cores measure the host's frequency/bandwidth ceiling,
+not the engine (on a real cluster 4N executors bring 4x hosts — memory
+bandwidth scales with N, unlike cores on one box).
+
+Phases measured end to end, each in its own JVM per level:
+  ingest — synthesize payloads + fused geotag -> write the images table
+  assign — the flagship radius join + kNN/category agg (shuffle-join path)
+  mosaic — decode + per-cell stitch (applyInPandas, python-CPU-bound)
+
+Config notes baked in (each was measured, see git history):
+  - parquet uncompressed + 8MB row groups + no dictionary for the binary
+    payload table (snappy on incompressible PNG wastes ~30% CPU);
+  - shuffled hash join preferred over sort-merge for the cell equi-join;
+  - AQE partition coalescing DISABLED for the mosaic stage: it targets
+    bytes-per-partition, which collapses python parallelism for
+    row-compute-bound applyInPandas stages (40 -> 58s at 8 cores);
+  - OMP/BLAS pinned to 1 thread per worker (Spark tasks are the
+    parallelism unit, nested pools oversubscribe);
+  - all staging on tmpfs; worlds generated density-constant
+    (spread_scale = sqrt(n/500k)) — with a fixed-size world the
+    radius-join pair count grows quadratically in n.
+
+Writes BENCH/BASELINE.md and prints one JSON line.
+
+Usage: python tools/bench_scaling.py [n_images] [cpus_low] [cpus_high]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CHILD = r"""
+import json, math, os, shutil, sys, time
+sys.path.insert(0, {repo!r})
+from gtfs_osm_sync_spark.session import get_spark
+from gtfs_osm_sync_spark import synth
+from gtfs_osm_sync_spark.pipeline import assign_images
+from gtfs_osm_sync_spark.operators.images import mosaic_by_cell
+import pyspark.sql.functions as F
+
+cpus = {cpus}
+n = {n_images}
+scale = math.sqrt(max(n / 500_000, 1.0))
+stage = {stage_dir!r}
+spark = get_spark(cpus=cpus, shuffle_partitions=cpus * 4, app_name=f"scaling_{{cpus}}",
+                  extra_conf={{
+                      "spark.local.dir": f"/dev/shm/spark_local_{{cpus}}",
+                      "spark.sql.parquet.compression.codec": "uncompressed",
+                      "spark.sql.join.preferSortMergeJoin": "false",
+                  }})
+
+def consume(df):
+    return df.agg(F.sum(F.hash("image_id", "category", "nearest_feature_id",
+                               "hex_cell"))).collect()[0][0]
+
+# warm-up (JVM/Arrow/codegen)
+synth.generate_images_geo(spark, 2000, partitions=cpus).count()
+
+# phase 1: ingest (payload synthesis + fused geotag + table write)
+# best of 2 trials (single-trial noise is +-20% on this VM)
+n_ing = max(n // 6, 10000)
+t_ingest = float("inf")
+for _ in range(2):
+    t0 = time.time()
+    (synth.generate_images_geo(spark, n_ing, partitions=cpus * 8, spread_scale=scale)
+     .write.mode("overwrite")
+     .option("parquet.block.size", 8 * 1024 * 1024)
+     .option("parquet.enable.dictionary", "false")
+     .parquet(stage + f"/img_{{cpus}}"))
+    t_ingest = min(t_ingest, time.time() - t0)
+
+# phase 2: flagship assign on the shared pre-staged geo table
+geo = spark.read.parquet(stage + "/geo")
+feat = spark.read.parquet(stage + "/feat")
+consume(assign_images(geo.where("image_id < 'img000000100000'"),
+                      feat.where("feature_id < 'node0000001000'"),
+                      broadcast_features=False))
+t_assign = float("inf")
+for _ in range(2):
+    t1 = time.time()
+    consume(assign_images(geo, feat, broadcast_features=False))
+    t_assign = min(t_assign, time.time() - t1)
+
+# phase 3: mosaic (python-row-bound: AQE coalescing off for this stage)
+spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+n_mos = max(n // 16, 10000)
+mos_src = spark.read.parquet(stage + f"/img_{{cpus}}").where(
+    f"image_id < 'img{{n_mos:012d}}'")
+t2 = time.time()
+n_cells = mosaic_by_cell(mos_src).count()
+t_mosaic = time.time() - t2
+shutil.rmtree(stage + f"/img_{{cpus}}", ignore_errors=True)
+
+print("RESULT " + json.dumps({{
+    "cpus": cpus,
+    "ingest_n": n_ing, "ingest_sec": round(t_ingest, 2),
+    "ingest_images_per_sec": round(n_ing / t_ingest, 1),
+    "assign_n": n, "assign_sec": round(t_assign, 2),
+    "assign_images_per_sec": round(n / t_assign, 1),
+    "mosaic_n": n_mos, "mosaic_sec": round(t_mosaic, 2),
+    "mosaic_images_per_sec": round(n_mos / t_mosaic, 1),
+    "n_mosaic_cells": n_cells,
+}}))
+"""
+
+_STAGER = r"""
+import math, sys
+sys.path.insert(0, {repo!r})
+from gtfs_osm_sync_spark.session import get_spark
+from gtfs_osm_sync_spark import synth
+n = {n_images}
+scale = math.sqrt(max(n / 500_000, 1.0))
+spark = get_spark(shuffle_partitions=64,
+                  extra_conf={{"spark.local.dir": "/dev/shm/spark_stager"}})
+(synth.generate_geo_only(spark, n, partitions=64, spread_scale=scale)
+ .write.mode("overwrite").parquet({stage_dir!r} + "/geo"))
+(synth.generate_features(spark, n, max(n // 100, 8), spread_scale=scale)
+ .write.mode("overwrite").parquet({stage_dir!r} + "/feat"))
+print("STAGED")
+"""
+
+
+def _run(code: str, cpus: int | None, timeout: int = 1800) -> str:
+    env = dict(os.environ)
+    env.update(
+        OMP_NUM_THREADS="1",
+        OPENBLAS_NUM_THREADS="1",
+        MKL_NUM_THREADS="1",
+        NUMEXPR_NUM_THREADS="1",
+    )
+    cmd = [sys.executable, "-c", code]
+    if cpus is not None and os.path.exists("/usr/bin/taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=timeout, cwd=REPO, env=env
+    )
+    return out.stdout + ("" if out.returncode == 0 else "\nSTDERR:\n" + out.stderr[-3000:])
+
+
+def run_level(cpus: int, n_images: int, stage_dir: str) -> dict:
+    out = _run(
+        _CHILD.format(repo=REPO, cpus=cpus, n_images=n_images, stage_dir=stage_dir),
+        cpus,
+    )
+    for line in out.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT ") :])
+    raise RuntimeError(f"child local[{cpus}] produced no RESULT:\n{out[-3000:]}")
+
+
+def main() -> None:
+    n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 2_500_000
+    lo = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    hi = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    stage_dir = "/dev/shm/bench_scaling" if os.path.isdir("/dev/shm") else "/tmp/bench_scaling"
+    t0 = time.time()
+    out = _run(_STAGER.format(repo=REPO, n_images=n_images, stage_dir=stage_dir), None)
+    if "STAGED" not in out:
+        raise RuntimeError(f"staging failed:\n{out[-3000:]}")
+    try:
+        r_lo = run_level(lo, n_images, stage_dir)
+        r_hi = run_level(hi, n_images, stage_dir)
+    finally:
+        import shutil
+
+        shutil.rmtree(stage_dir, ignore_errors=True)
+    ratio = hi / lo
+
+    def eff(key: str) -> float:
+        return round((r_hi[key] / r_lo[key]) / ratio, 3)
+
+    eff_ingest = eff("ingest_images_per_sec")
+    eff_assign = eff("assign_images_per_sec")
+    eff_mosaic = eff("mosaic_images_per_sec")
+    result = {
+        "metric": "scaling efficiency (throughput_hi/throughput_lo)/(cpus_hi/cpus_lo)",
+        "n_images": n_images,
+        "low": r_lo,
+        "high": r_hi,
+        "scaling_efficiency_ingest": eff_ingest,
+        "scaling_efficiency_assign": eff_assign,
+        "scaling_efficiency_mosaic": eff_mosaic,
+        "wall_sec": round(time.time() - t0, 1),
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    md = f"""# BENCH/BASELINE — measured performance ({time.strftime('%Y-%m-%d')})
+
+## Scaling efficiency, N -> 4N (north_rule target >= 0.8)
+
+No real cluster in this sandbox (task brief): the same job runs at two
+taskset-pinned parallelism levels, {lo} and {hi} cores, in separate JVMs
+on the same staged input. Levels are kept <= 12 busy cores because this
+VM's measured per-core throughput degrades ~2x beyond that (0.38s/unit at
+1-12 busy cores -> 0.81s/unit at 32 busy; a single-box artifact — on a
+real cluster, 4N executors bring 4x hosts and memory bandwidth scales
+with N).
+
+Flagship pipeline on a density-constant world of {n_images:,} images
+(spread_scale = sqrt(n/500k), urban-skewed, deterministic):
+
+| phase | what runs | {lo}-core img/s | {hi}-core img/s | efficiency |
+|---|---|---|---|---|
+| ingest | synth + fused geotag + parquet write ({r_lo['ingest_n']:,} imgs) | {r_lo['ingest_images_per_sec']:,} | {r_hi['ingest_images_per_sec']:,} | **{eff_ingest}** |
+| assign | hex-ring radius join + kNN/category agg ({n_images:,} rows) | {r_lo['assign_images_per_sec']:,} | {r_hi['assign_images_per_sec']:,} | **{eff_assign}** |
+| mosaic | decode + per-cell stitch, applyInPandas ({r_lo['mosaic_n']:,} imgs) | {r_lo['mosaic_images_per_sec']:,} | {r_hi['mosaic_images_per_sec']:,} | **{eff_mosaic}** |
+
+## Tuning that the measurements drove (all verified, see git history)
+
+- fuse geotag INTO generation (payload bytes cross Arrow once, not 3x)
+- uncompressed parquet + 8 MB row groups + dictionary off for binary
+  payload tables (snappy on incompressible PNG wasted ~30 % CPU)
+- shuffled-hash join over sort-merge for the cell equi-join
+- AQE partition coalescing disabled for python-row-bound applyInPandas
+  stages (it sizes partitions by BYTES and collapsed mosaic parallelism:
+  58.6 s -> 40.3 s at 8 cores)
+- single min(struct) aggregation instead of two windows for kNN+category
+  (windowed plan recomputed the scan lineage per branch)
+- OMP/BLAS pinned to 1 thread in python workers
+
+## Reference comparison
+
+The reference (gtfs-osm-sync) computes an O(N*M) nested Vincenty loop on
+one JVM (CompareData.java:1016-1069) over 3,802 stops and publishes no
+numbers (BASELINE.md). This engine assigns {r_hi['assign_images_per_sec']:,.0f}
+images/sec to tiles + nearest features at {hi} cores — the per-image work
+is O(ring cells), independent of the feature count.
+
+Raw JSON:
+
+```json
+{json.dumps(result, indent=2)}
+```
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
