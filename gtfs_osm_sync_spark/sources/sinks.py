@@ -1,0 +1,138 @@
+"""Report sinks (SURVEY §2.1 K1-K4): CSV exports and OsmChange XML.
+
+K1/K2 are plain df.write.csv with the reference's column/format rules
+(io/WriteFile.java:214-313); the 'k=v|k=v' tag column comes from
+tags_to_kv_string. Ordering is pinned to stop_id (lexical) — the
+reference's String.hashCode selection sort (WriteFile.java:122-135) is a
+Java artifact, documented deviation (SURVEY §4).
+
+K4 builds osmChange XML (io/OsmPrinter.java:41-179 +
+HttpRequest.getRequestContents 366-424) as a DataFrame of per-element XML
+fragments assembled with format_string — all JVM expressions — plus a tiny
+driver-side concat for the envelope. Create elements get negative temp
+ids from -row_number() (HttpRequest.java:377-379).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..functions.tags import tags_to_kv_string
+from ..functions.mappings import xml_escape
+
+
+def export_stops_csv(
+    df: DataFrame,
+    path: str,
+    with_tags: bool = True,
+    conflicts_only: bool = False,
+    category_col: str = "category",
+) -> None:
+    """K1: the 5 report exports (WriteFile.exportStops, WriteFile.java:214-294).
+
+    Columns: stop_id, stop_code, stop_name, stop_lat, stop_lon[, OSM_TAGs].
+    conflicts_only keeps UPLOAD_CONFLICT rows (ReportViewer.java:3212-3243).
+    """
+    out = df
+    if conflicts_only and category_col in df.columns:
+        out = out.filter(F.col(category_col) == "UPLOAD_CONFLICT")
+    cols = [
+        F.col("gtfs_id").alias("stop_id"),
+        F.coalesce(F.col("gtfs_stop_code"), F.lit("")).alias("stop_code")
+        if "gtfs_stop_code" in df.columns
+        else F.lit("").alias("stop_code"),
+        F.col("name").alias("stop_name"),
+        F.col("lat").alias("stop_lat"),
+        F.col("lon").alias("stop_lon"),
+    ]
+    if with_tags and "tags" in df.columns:
+        cols.append(tags_to_kv_string(F.col("tags")).alias("OSM_TAGs"))
+    out.select(*cols).orderBy("stop_id").coalesce(1).write.mode("overwrite").option(
+        "header", True
+    ).csv(path)
+
+
+def export_stop_list_csv(df: DataFrame, path: str) -> None:
+    """K2: stop_id,stop_name,stop_lat,stop_lon (WriteFile.java:296-313)."""
+    df.select(
+        F.col("gtfs_id").alias("stop_id"),
+        F.col("name").alias("stop_name"),
+        F.col("lat").alias("stop_lat"),
+        F.col("lon").alias("stop_lon"),
+    ).orderBy("stop_id").coalesce(1).write.mode("overwrite").option("header", True).csv(
+        path
+    )
+
+
+def _node_xml(changeset: str) -> F.Column:
+    """One <node> element with sorted k=v tags, XML-escaped (F3)."""
+    tag_frags = F.concat_ws(
+        "",
+        F.transform(
+            F.array_sort(F.map_entries(F.col("tags"))),
+            lambda e: F.format_string(
+                '    <tag k="%s" v="%s"/>\n',
+                xml_escape(e["key"]),
+                xml_escape(e["value"]),
+            ),
+        ),
+    )
+    return F.format_string(
+        '  <node id="%s" lat="%.7f" lon="%.7f" version="%s" changeset="%s">\n%s  </node>\n',
+        F.col("elem_id").cast("string"),
+        F.col("lat"),
+        F.col("lon"),
+        F.coalesce(F.col("version").cast("string"), F.lit("1")),
+        F.lit(changeset),
+        tag_frags,
+    )
+
+
+def osm_change_xml(
+    create: DataFrame | None,
+    modify: DataFrame | None,
+    delete: DataFrame | None,
+    changeset: str = "0",
+) -> str:
+    """K4: assemble an osmChange document (OsmPrinter.java:41-179).
+
+    Inputs need (lat, lon, tags[, version][, osm_id]). Creates get
+    negative temp ids -1..-n via -row_number() (HttpRequest.java:377-379);
+    modify/delete use their osm_id. Element XML is built executor-side;
+    only the section concat happens on the driver (bounded by report
+    size, same as the reference's in-memory StringBuilder).
+    """
+    sections = []
+    for name, df in (("create", create), ("modify", modify), ("delete", delete)):
+        if df is None:
+            continue
+        if name == "create":
+            w = W.orderBy("gtfs_id" if "gtfs_id" in df.columns else "lat")
+            df = df.withColumn("elem_id", -F.row_number().over(w))
+        else:
+            df = df.withColumn("elem_id", F.col("osm_id"))
+        frags = df.select(_node_xml(changeset).alias("xml")).collect()
+        body = "".join(r["xml"] for r in frags)
+        sections.append(f" <{name}>\n{body} </{name}>\n")
+    inner = "".join(sections)
+    return (
+        "<?xml version='1.0' encoding='UTF-8'?>\n"
+        '<osmChange version="0.6" generator="gtfs_osm_sync_spark">\n'
+        f"{inner}</osmChange>\n"
+    )
+
+
+def invert_changeset(df: DataFrame) -> DataFrame:
+    """S10: changeset revert inversion (ChangesetDownloadParser.java:44-72):
+    create -> delete, delete -> create, modify stays (prior version is
+    re-uploaded). In the engine proper, SnapTable.rollback replaces this
+    entirely (SURVEY §3.3); kept for parity with the reference's sources.
+    """
+    return df.withColumn(
+        "action",
+        F.when(F.col("action") == "create", "delete")
+        .when(F.col("action") == "delete", "create")
+        .otherwise("modify"),
+    )
