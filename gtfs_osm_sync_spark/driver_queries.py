@@ -1194,3 +1194,205 @@ def q17(spark, sf_dir):
         F.round(F.coalesce(F.col("N"), F.lit(0.0)), 2).alias("qty_n"),
         F.round(F.coalesce(F.col("R"), F.lit(0.0)), 2).alias("qty_r"),
     )
+
+
+# ---------------------------------------------------------------------------
+# G. tag algebra (oracle-checked) + real-engine rows-only queries
+# ---------------------------------------------------------------------------
+
+from .functions import tags as TG  # noqa: E402
+
+
+@register(
+    "q18_tag_diff",
+    """
+    WITH t AS (
+      SELECT p_partkey, p_name,
+             upper(p_name) AS osm_name,               -- equal case-insens.
+             concat(p_brand, ' and more') AS osm_brand, -- contains new
+             p_brand,
+             p_type,
+             'other' AS osm_type                       -- conflict
+      FROM part
+    )
+    SELECT p_partkey,
+           concat('brand_osm=', osm_brand,
+                  '|type=', p_type, ';', osm_type) AS diff_kv
+    FROM t
+    """,
+)
+def q18(spark, sf_dir):
+    """F5 tag diff (CompareData.java:443-467) on MapType columns; the
+    oracle replays the per-key rules on flat columns. Key rules hit:
+    equal-case-insensitive -> drop, osm-contains-new -> keep osm (but the
+    brand_osm key name differs so it lands as a plain new key), conflict
+    -> 'new;osm'."""
+    (part,) = load(spark, sf_dir, "part")
+    new_tags = F.create_map(
+        F.lit("name"), F.col("p_name"),
+        F.lit("brand_osm"), F.concat(F.col("p_brand"), F.lit(" and more")),
+        F.lit("type"), F.col("p_type"),
+    )
+    osm_tags = F.create_map(
+        F.lit("name"), F.upper(F.col("p_name")),
+        F.lit("type"), F.lit("other"),
+    )
+    # name: equal case-insens -> dropped; brand_osm: missing in osm -> kept
+    # as-is; type: conflict -> 'new;osm'
+    return part.select(
+        "p_partkey",
+        TG.tags_to_kv_string(TG.tag_diff(new_tags, osm_tags)).alias("diff_kv"),
+    )
+
+
+@register(
+    "q19_tag_merge",
+    """
+    SELECT p_partkey,
+           concat('brand=', p_brand,
+                  '|name=', p_name,
+                  '|size=', CAST(p_size AS VARCHAR)) AS merged_keep,
+           concat('brand=', p_brand,
+                  '|name=NEW ', p_name,
+                  '|size=none') AS merged_overwrite
+    FROM part
+    """,
+)
+def q19(spark, sf_dir):
+    """F6/F7 tag merges (OsmPrimitive.java:59-92): keep-existing vs
+    overwrite with the '' -> 'none' sentinel."""
+    (part,) = load(spark, sf_dir, "part")
+    new_tags = F.create_map(
+        F.lit("name"), F.concat(F.lit("NEW "), F.col("p_name")),
+        F.lit("size"), F.lit(""),
+    )
+    old_tags = F.create_map(
+        F.lit("name"), F.col("p_name"),
+        F.lit("brand"), F.col("p_brand"),
+        F.lit("size"), F.col("p_size").cast("string"),
+    )
+    return part.select(
+        "p_partkey",
+        TG.tags_to_kv_string(TG.tag_merge_keep_existing(new_tags, old_tags)).alias(
+            "merged_keep"
+        ),
+        TG.tags_to_kv_string(TG.tag_merge_overwrite(new_tags, old_tags)).alias(
+            "merged_overwrite"
+        ),
+    )
+
+
+# -- rows-only queries: the real engine surface (phash geotag, hex/S2
+# cells, Vincenty, WKB PIP, mosaics, LSH ANN) is not ANSI-SQL-expressible;
+# the driver records a rows-only check and the pytest suite holds the
+# semantics against brute-force oracles (tests/test_spatial_join.py etc.)
+
+
+def _sf_n(sf_dir: str, per_unit: int = 200_000, lo: int = 2_000) -> int:
+    try:
+        sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    except ValueError:
+        sf = 0.01
+    return max(int(per_unit * sf), lo)
+
+
+@register("g01_images_assign_categories", None)
+def g01(spark, sf_dir):
+    """Flagship engine pipeline on the synthetic images world (north_rule):
+    geotag -> hex ring join -> kNN + 4-way category; emits category counts."""
+    from . import synth
+    from .pipeline import assign_images
+
+    n = _sf_n(sf_dir)
+    geo = synth.generate_geo_only(spark, n)
+    feats = synth.generate_features(spark, n, max(n // 50, 8))
+    out = assign_images(geo, feats)
+    return out.groupBy("category").agg(F.count("*").alias("n")).orderBy("category")
+
+
+@register("g02_vincenty_knn", None)
+def g02(spark, sf_dir):
+    """kNN ranked by the vectorized Vincenty pandas UDF (the reference's
+    exact metric, OsmDistance.java:28-82) instead of haversine."""
+    from .functions.geo import vincenty_m_udf
+
+    cust = _cust_coords(spark, sf_dir)
+    supp = _supp_coords(spark, sf_dir)
+    j = _grid_ring_join(cust, supp)
+    j = j.withColumn(
+        "vdist_m", vincenty_m_udf(F.col("lat"), F.col("lon"), F.col("r_lat"), F.col("r_lon"))
+    ).filter(F.col("vdist_m") < RADIUS_M)
+    w = W.partitionBy("c_custkey").orderBy(F.asc("vdist_m"), F.asc("s_suppkey"))
+    return (
+        j.withColumn("rank_k", F.row_number().over(w))
+        .filter(F.col("rank_k") <= 5)
+        .select("c_custkey", "s_suppkey", "rank_k", F.round("vdist_m", 1).alias("vdist_m"))
+    )
+
+
+@register("g03_cell_index", None)
+def g03(spark, sf_dir):
+    """Hex res-9 + S2 level-15 cell encoding over the synthetic world:
+    per-cell occupancy histogram (the partition-key distribution that
+    drives salting decisions)."""
+    from . import synth
+
+    n = _sf_n(sf_dir)
+    geo = synth.generate_geo_only(spark, n)
+    return (
+        geo.groupBy("hex_cell")
+        .agg(F.count("*").alias("n_images"), F.countDistinct("s2_cell").alias("n_s2"))
+        .groupBy("n_images")
+        .agg(F.count("*").alias("n_cells"), F.sum("n_s2").alias("s2_cells"))
+        .orderBy("n_images")
+    )
+
+
+@register("g04_mosaic", None)
+def g04(spark, sf_dir):
+    """Per-cell raster mosaics (A10 applyInPandas) over synthetic payloads;
+    emits cell geometry stats (pixel equality is pytest-verified)."""
+    from . import synth
+    from .operators.images import mosaic_by_cell
+
+    n = min(_sf_n(sf_dir, per_unit=40_000), 20_000)
+    geo = synth.generate_images_geo(spark, n)
+    m = mosaic_by_cell(geo)
+    return m.groupBy("grid").agg(
+        F.count("*").alias("n_cells"),
+        F.sum("n_images").alias("n_images"),
+        F.max("tile_w").alias("max_w"),
+    ).orderBy("grid")
+
+
+@register("g05_pip_wkb", None)
+def g05(spark, sf_dir):
+    """WKB ray-casting PIP join over the synthetic polygon set
+    (per-polygon containment counts)."""
+    from . import synth
+    from .operators.pip import pip_join
+    from .operators.spatial_join import geotag_images
+
+    n = _sf_n(sf_dir)
+    geo = synth.generate_geo_only(spark, n)
+    polys = synth.generate_polygons(spark)
+    out = pip_join(geo, polys)
+    return out.groupBy("poly_id").agg(F.count("*").alias("n_inside")).orderBy("poly_id")
+
+
+@register("g06_lsh_ann_recall", None)
+def g06(spark, sf_dir):
+    """Sign-LSH bucketed ANN vs brute force: recall@5 (the scale path's
+    quality metric)."""
+    from .operators.similarity import brute_force_topk, lsh_topk
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    exact = brute_force_topk(q, emb, k=5).select("q_id", "n_id")
+    approx = lsh_topk(q, emb, k=5, n_bits=4).select("q_id", "n_id")
+    hit = exact.join(approx, ["q_id", "n_id"], "left_semi").count()
+    total = exact.count()
+    return spark.createDataFrame(
+        [(total, hit, round(hit / max(total, 1), 4))],
+        "n_exact bigint, n_hit bigint, recall_at_5 double",
+    )
