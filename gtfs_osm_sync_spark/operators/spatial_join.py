@@ -97,11 +97,20 @@ def radius_join(
     features: DataFrame,
     radius_m: float = DEFAULT_RADIUS_M,
     broadcast_features: bool = True,
+    n_salt: int = 0,
 ) -> DataFrame:
     """J1: every (image, feature) pair within radius_m meters.
 
     images_geo must already carry (lat, lon, hex_cell) — see geotag_images.
     Returns the joined frame with `dist_m`.
+
+    Skew handling for the shuffle path (broadcast_features=False):
+    AQE skew-join splitting is on session-wide; n_salt > 1 additionally
+    salts the hot-cell shuffle EXPLICITLY (north_rule): the big side gets
+    salt = hash(image_id) % n_salt, the small (ring-exploded) side is
+    replicated across all salts, and the equi-join key becomes
+    (hex_cell, salt) — a dense urban cell spreads over n_salt tasks.
+    Results are identical with/without salting (tests pin this).
     """
     f = features_with_ring_cells(features, radius_m).select(
         "hex_cell",
@@ -114,13 +123,22 @@ def radius_join(
             if c not in ("feature_id", "lat", "lon", "hex_cell")
         ],
     )
+    keys = ["hex_cell"]
+    left = images_geo
     if broadcast_features:
         f = F.broadcast(f)
-    joined = images_geo.join(f, "hex_cell")
-    return joined.withColumn(
+    elif n_salt and n_salt > 1:
+        left = left.withColumn("_salt", F.pmod(F.xxhash64("image_id"), F.lit(n_salt)))
+        f = f.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+        ).withColumn("_salt", F.col("_salt").cast("long"))
+        keys = ["hex_cell", "_salt"]
+    joined = left.join(f, keys)
+    out = joined.withColumn(
         "dist_m",
         haversine_m_col(F.col("lat"), F.col("lon"), F.col("f_lat"), F.col("f_lon")),
     ).filter(F.col("dist_m") < radius_m)
+    return out.drop("_salt")
 
 
 def knn_join(

@@ -76,6 +76,13 @@ def assign_images(
             F.col("gtfs_id").isNotNull() & (F.col("gtfs_id") == F.col("gtfs_id_img")), 1
         ).otherwise(0),
     )
+    # physical note: min(struct) (like min_by and min(string)) lowers to
+    # SortAggregate — HashAggregate needs fixed-width mutable buffers.
+    # That is still partial-aggregating (map-side combine before the only
+    # shuffle) and the per-task sort is over ~k candidates per image; the
+    # exact (dist, feature_id) ordering it preserves is worth more than a
+    # hash-agg would save (every lossy packing we measured either broke
+    # exactness or needed numeric feature ids).
     agg = pairs.groupBy("image_id").agg(
         F.min(F.struct(F.col("dist_m"), F.col("feature_id"))).alias("_near"),
         F.min(
