@@ -325,6 +325,58 @@ def make_hex_ring_udf(k: int = 1):
     return hex_ring
 
 
+def hex_rings_needed_np(radius_m: float, res: int, abs_lat_deg: np.ndarray) -> np.ndarray:
+    """Vectorized per-row covering ring count (same bound as
+    hex_rings_needed)."""
+    edge = hex_edge_m(res)
+    coslat = np.maximum(np.cos(np.radians(np.abs(abs_lat_deg))), 1e-6)
+    plane_r = radius_m / coslat
+    return np.maximum(np.ceil((plane_r + 2.0 * edge) / (1.5 * edge)).astype(np.int64), 1)
+
+
+def make_hex_ring_adaptive_udf(radius_m: float, res: int = 9, k_cap: int = 16):
+    """Pandas UDF: (cell, lat) -> covering cell array with PER-ROW ring
+    size from the row's latitude — features near the equator explode to
+    k=3 (37 cells) instead of the global worst case (k=5, 91 cells at
+    |lat| 60). The output is exactly the cells a correct covering needs,
+    nothing more. k_cap guards polar inputs (|lat| -> 90 makes the
+    equirectangular bound blow up; cap and accept over-coverage loss
+    there — the synthetic worlds stay under |lat| 62)."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def hex_ring_adaptive(cell: pd.Series, lat: pd.Series) -> pd.Series:
+        cid = cell.to_numpy(np.int64)
+        ks = np.minimum(
+            hex_rings_needed_np(radius_m, res, lat.to_numpy(np.float64)), k_cap
+        )
+        resv, q, r = hex_cell_unpack(cid)
+        out = []
+        kmax = int(ks.max()) if len(ks) else 1
+        # offsets for the max ring once; per-row slice by hex distance
+        offs = [
+            (dq, dr)
+            for dq in range(-kmax, kmax + 1)
+            for dr in range(max(-kmax, -dq - kmax), min(kmax, -dq + kmax) + 1)
+        ]
+        dqs = np.array([o[0] for o in offs], dtype=np.int64)
+        drs = np.array([o[1] for o in offs], dtype=np.int64)
+        hexdist = np.maximum(
+            np.maximum(np.abs(dqs), np.abs(drs)), np.abs(dqs + drs)
+        )
+        for i in range(len(cid)):
+            m = hexdist <= ks[i]
+            qn = q[i] + dqs[m]
+            rn = r[i] + drs[m]
+            out.append(
+                (np.int64(resv[i]) << np.int64(58))
+                | ((qn + _HEX_OFF) << np.int64(29))
+                | (rn + _HEX_OFF)
+            )
+        return pd.Series(out)
+
+    return hex_ring_adaptive
+
+
 def hex_rings_needed(radius_m: float, res: int, max_abs_lat_deg: float = 0.0) -> int:
     """Smallest k such that the filled k-ring is a *covering* for
     `radius_m` ground meters.

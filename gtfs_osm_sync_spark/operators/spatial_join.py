@@ -36,9 +36,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from ..functions.cells import (
-    hex_rings_needed,
     make_hex_cell_udf,
-    make_hex_ring_udf,
+    make_hex_ring_adaptive_udf,
     make_s2_cell_udf,
 )
 from ..functions.geo import haversine_m_col
@@ -78,16 +77,17 @@ def geotag_images(images: DataFrame) -> DataFrame:
 
 
 def features_with_ring_cells(
-    features: DataFrame, radius_m: float = DEFAULT_RADIUS_M, max_abs_lat: float = 60.0
+    features: DataFrame, radius_m: float = DEFAULT_RADIUS_M
 ) -> DataFrame:
     """Explode features to every hex cell whose points could be within
-    radius_m: cell(feature) + filled k-ring, k from the covering bound."""
-    k = hex_rings_needed(radius_m, HEX_RES, max_abs_lat)
+    radius_m: cell(feature) + filled k-ring, with the ring size computed
+    PER FEATURE from its latitude (equator k=3 / 37 cells vs the |lat|=60
+    worst case k=5 / 91 cells — a ~2x cut in candidate rows)."""
     hexc = make_hex_cell_udf(HEX_RES)
-    ring = make_hex_ring_udf(k)
+    ring = make_hex_ring_adaptive_udf(radius_m, HEX_RES)
     return (
         features.withColumn("_c", hexc("lat", "lon"))
-        .withColumn("hex_cell", F.explode(ring(F.col("_c"))))
+        .withColumn("hex_cell", F.explode(ring(F.col("_c"), F.col("lat"))))
         .drop("_c")
     )
 
