@@ -1396,3 +1396,181 @@ def g06(spark, sf_dir):
         [(total, hit, round(hit / max(total, 1), 4))],
         "n_exact bigint, n_hit bigint, recall_at_5 double",
     )
+
+
+# ---------------------------------------------------------------------------
+# H. pairing join, operator predicate, precedence dedup, split/join scalars
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q20_platform_pairing",
+    f"""
+    WITH {_CUST_SQL}, {_SUPP_SQL}, pairs AS (
+      SELECT c.c_custkey, s.s_suppkey, {_DIST_SQL} AS dist_m
+      FROM customer_geo c CROSS JOIN supplier_geo s
+      WHERE c.c_custkey % 16 = s.s_suppkey % 16 AND {_DIST_SQL} < 30000.0
+    )
+    SELECT c_custkey, s_suppkey,
+           CASE WHEN dist_m <= 15000.0 THEN 'stop' ELSE 'platform' END AS role,
+           round(dist_m, 1) AS dist_m
+    FROM (
+      SELECT c_custkey, s_suppkey, dist_m,
+             row_number() OVER (PARTITION BY c_custkey ORDER BY dist_m, s_suppkey) AS rn
+      FROM pairs
+    ) WHERE rn = 1
+    """,
+)
+def q20(spark, sf_dir):
+    """J9: platform<->stop_position pairing inside a relation — each
+    platform adopts the nearest stop within MAX_PLATFORM_STOP_DISTANCE,
+    rewriting roles (gui/ReportViewer.java:1244-1272, 30 m there; scaled
+    here). Relation membership analog = shared key % 16."""
+    cust = _cust_coords(spark, sf_dir).withColumn("grp", F.col("c_custkey") % 16)
+    supp = _supp_coords(spark, sf_dir).withColumn("grp", F.col("s_suppkey") % 16)
+    s = supp.select(
+        "grp",
+        F.col("s_suppkey"),
+        F.col("lat").alias("r_lat"),
+        F.col("lon").alias("r_lon"),
+    )
+    pairs = cust.join(F.broadcast(s), "grp").withColumn(
+        "dist_m",
+        haversine_m_col(F.col("lat"), F.col("lon"), F.col("r_lat"), F.col("r_lon")),
+    ).filter(F.col("dist_m") < 30000.0)
+    w = W.partitionBy("c_custkey").orderBy("dist_m", "s_suppkey")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            F.when(F.col("dist_m") <= 15000.0, "stop").otherwise("platform").alias("role"),
+            F.round("dist_m", 1).alias("dist_m"),
+        )
+    )
+
+
+@register(
+    "q21_operator_predicate",
+    """
+    SELECT s_suppkey, s_name,
+           CASE WHEN (
+             strpos(upper(s_name), 'SUPPLIER#000000001') > 0
+             OR strpos('SUPPLIER#000000001', upper(s_name)) > 0
+             OR strpos(upper(s_name), 'SUPPLIER#00000002') > 0
+             OR strpos('SUPPLIER#00000002', upper(s_name)) > 0
+           ) THEN 1 ELSE 0 END AS op_match
+    FROM supplier
+    """,
+)
+def q21(spark, sf_dir):
+    """P3: the fuzzy operator predicate — case-insensitive substring
+    containment in either direction over an alias list
+    (object/OperatorInfo.java:112-126; applied CompareData.java:1040-1054)."""
+    from .functions.tags import operator_matches
+
+    (supplier,) = load(spark, sf_dir, "supplier")
+    return supplier.select(
+        "s_suppkey",
+        "s_name",
+        operator_matches(
+            F.col("s_name"), ["Supplier#000000001", "Supplier#00000002"]
+        )
+        .cast("int")
+        .alias("op_match"),
+    )
+
+
+@register(
+    "q22_category_precedence",
+    """
+    WITH labeled AS (
+      SELECT o_orderkey, o_custkey,
+             CASE
+               WHEN o_orderstatus = 'F' THEN 'modify'
+               WHEN o_totalprice > 200000 THEN 'noUpload'
+               ELSE 'upload'
+             END AS bucket
+      FROM orders
+    ), ranked AS (
+      SELECT o_custkey, bucket,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY
+               CASE bucket WHEN 'modify' THEN 1 WHEN 'noUpload' THEN 2 ELSE 3 END,
+               bucket) AS rn
+      FROM labeled
+    )
+    SELECT o_custkey AS custkey, bucket AS final_bucket
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q22(spark, sf_dir):
+    """J6: set-difference precedence — upload loses to noUpload loses to
+    modify (reviseUpload/reviseNoUpload, CompareData.java:410-439) as one
+    deterministic priority window instead of mutable set subtraction."""
+    (orders,) = load(spark, sf_dir, "orders")
+    labeled = orders.withColumn(
+        "bucket",
+        F.when(F.col("o_orderstatus") == "F", "modify")
+        .when(F.col("o_totalprice") > 200000, "noUpload")
+        .otherwise("upload"),
+    )
+    prio = (
+        F.when(F.col("bucket") == "modify", 1)
+        .when(F.col("bucket") == "noUpload", 2)
+        .otherwise(3)
+    )
+    w = W.partitionBy("o_custkey").orderBy(prio, "bucket")
+    return (
+        labeled.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("o_custkey").alias("custkey"), F.col("bucket").alias("final_bucket"))
+    )
+
+
+@register(
+    "q23_alt_names",
+    """
+    SELECT n_nationkey,
+           concat(n_name, ';', lower(n_name), ';', substr(n_name, 1, 3)) AS alt_name,
+           CAST(len(string_split(concat(n_name, ';', lower(n_name), ';',
+             substr(n_name, 1, 3)), ';')) AS INT) AS n_alts,
+           string_split(concat(n_name, ';', lower(n_name), ';',
+             substr(n_name, 1, 3)), ';')[2] AS second_alt
+    FROM nation
+    """,
+)
+def q23(spark, sf_dir):
+    """F17: alt_name ';'-join and split (object/Stop.java:57-66,161-167)."""
+    (nation,) = load(spark, sf_dir, "nation")
+    alt = F.concat_ws(
+        ";", F.col("n_name"), F.lower("n_name"), F.substring("n_name", 1, 3)
+    )
+    return nation.select(
+        "n_nationkey",
+        alt.alias("alt_name"),
+        F.size(F.split(alt, ";")).alias("n_alts"),
+        F.element_at(F.split(alt, ";"), 2).alias("second_alt"),
+    )
+
+
+@register(
+    "q24_scalar_subquery",
+    """
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_above_avg
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+    GROUP BY c_mktsegment
+    """,
+)
+def q24(spark, sf_dir):
+    """Scalar subquery + filter-above-global-aggregate (Catalyst subquery
+    handling; absent in the reference, 'built-in' row of SURVEY §2.3)."""
+    (customer,) = load(spark, sf_dir, "customer")
+    avg_bal = customer.agg(F.avg("c_acctbal")).collect()[0][0]
+    return (
+        customer.filter(F.col("c_acctbal") > avg_bal)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_above_avg"))
+    )
