@@ -66,12 +66,17 @@ def run_bench(sf_dir: str, cpus: int, queries: list[str] | None = None) -> dict:
     n_img = max(int(1_000_000 * sf), 20_000)
     geo = synth.generate_geo_only(spark, n_img, partitions=cpus * 4)
     feats = synth.generate_features(spark, n_img, max(n_img // 50, 8))
-    t0 = time.time()
-    out = assign_images(geo, feats)
-    out.agg(
-        F.sum(F.hash("image_id", "category", "nearest_feature_id", "hex_cell"))
-    ).collect()
-    t_img = time.time() - t0
+
+    def run_images() -> float:
+        t0 = time.time()
+        out = assign_images(geo, feats)
+        out.agg(
+            F.sum(F.hash("image_id", "category", "nearest_feature_id", "hex_cell"))
+        ).collect()
+        return time.time() - t0
+
+    run_images()  # warm the plan (JIT/codegen)
+    t_img = min(run_images(), run_images())
 
     return {
         "metric": "headline query wall-clock (flagship kNN spatial join first)",

@@ -70,7 +70,12 @@ def assign_images(
             F.regexp_replace(F.regexp_replace("image_id", "^img", ""), "^0+", ""), 8, "0"
         ),
     )
-    pairs = radius_join(geo, features, radius_m, broadcast_features).withColumn(
+    # column pruning by hand where it matters: the candidate join shuffles
+    # |candidates| ~ 6x |pairs| rows — carry only the join-relevant columns
+    # through it (captions/tags/payloads ride the final left join instead)
+    slim_geo = geo.select("image_id", "lat", "lon", "hex_cell", "gtfs_id_img")
+    slim_features = features.select("feature_id", "lat", "lon", "gtfs_id")
+    pairs = radius_join(slim_geo, slim_features, radius_m, broadcast_features).withColumn(
         "id_match",
         F.when(
             F.col("gtfs_id").isNotNull() & (F.col("gtfs_id") == F.col("gtfs_id_img")), 1
