@@ -1,8 +1,14 @@
 """spark-submit entry point for the flagship assign pipeline.
 
-    spark-submit --py-files dist/gtfs_osm_sync_spark.zip \
-        jobs/run_flagship.py --n-images 100000 --out /tmp/flagship_table \
-        [--run-id r1] [--chunks 8] [--resume]
+    spark-submit --driver-memory 16g \
+        --py-files dist/gtfs_osm_sync_spark.zip \
+        jobs/run_flagship.py --n-images 1000000 --out /tmp/flagship_table \
+        [--run-id r1] [--chunks 8]
+
+(local mode: the driver IS the executor — size --driver-memory for the
+payload; 1M images with PNG payloads ran in 63 s on local[32]/16 g.
+Re-running with the same --run-id and --out resumes after the last
+committed chunk.)
 
 On a cluster, --master/--num-executors come from spark-submit; this
 script only builds the session from the active context. The job is
