@@ -80,3 +80,37 @@ def operator_matches(osm_operator: Column, aliases: list[str]) -> Column:
         al = F.lit(a.upper())
         cond = cond | up.contains(al) | al.contains(up) & (F.length(up) > 0)
     return cond
+
+
+def fixme_filter(tags: Column) -> Column:
+    """P6: nodes already tagged FIXME are not re-flagged
+    (CompareData.java:1038,1169). True = keep for processing."""
+    return ~F.map_contains_key(tags, F.lit("FIXME"))
+
+
+def negative_id_filter(ref: Column) -> Column:
+    """P7: relation members with negative (temporary) ids are skipped on
+    save (gui/ReportViewer.java:1298-1305)."""
+    return ~ref.cast("string").startswith("-")
+
+
+def member_role_filter(
+    role: Column,
+    pt_type: Column,
+    in_gtfs: Column,
+    skip_empty_role: bool = True,
+    skip_stop_positions: bool = True,
+    skip_platforms_not_in_gtfs: bool = True,
+) -> Column:
+    """P8: PTv2 member skip rules (gui/ReportViewer.java:1400-1439;
+    options object/ProcessingOptions.java:32-36). True = keep."""
+    keep = F.lit(True)
+    if skip_empty_role:
+        keep = keep & ~(F.coalesce(role, F.lit("")) == "")
+    if skip_stop_positions:
+        keep = keep & ~(F.coalesce(pt_type, F.lit("")) == "stop_position")
+    if skip_platforms_not_in_gtfs:
+        keep = keep & ~(
+            (F.coalesce(pt_type, F.lit("")) == "platform") & ~F.coalesce(in_gtfs, F.lit(False))
+        )
+    return keep

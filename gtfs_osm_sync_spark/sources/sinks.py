@@ -136,3 +136,25 @@ def invert_changeset(df: DataFrame) -> DataFrame:
         .when(F.col("action") == "delete", "create")
         .otherwise("modify"),
     )
+
+
+def text_report(df: DataFrame, category_col: str = "category") -> str:
+    """K3: the human-readable numbered report (WriteFile.java:59-105):
+    one numbered line per stop grouped by category. Bounded by report
+    size (same contract as the reference's in-memory writer)."""
+    rows = (
+        df.select("gtfs_id", "name", category_col)
+        .orderBy(category_col, "gtfs_id")
+        .collect()
+    )
+    lines = []
+    current = None
+    i = 0
+    for r in rows:
+        if r[category_col] != current:
+            current = r[category_col]
+            i = 0
+            lines.append(f"== {current} ==")
+        i += 1
+        lines.append(f"{i}. {r['gtfs_id']} {r['name']}")
+    return "\n".join(lines) + "\n"
