@@ -1574,3 +1574,25 @@ def q24(spark, sf_dir):
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_above_avg"))
     )
+
+
+@register("g07_ivf_ann_recall", None)
+def g07(spark, sf_dir):
+    """IVF-bucketed ANN (coarse quantize -> nprobe lists -> exact rerank):
+    recall@5 at nprobe 1/4/8 of 8 lists vs brute force."""
+    from .operators.similarity import brute_force_topk, ivf_assign, ivf_topk, make_centroids
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    exact = brute_force_topk(q, emb, k=5).select("q_id", "n_id")
+    cents = make_centroids(emb, n_lists=8)
+    assigned = ivf_assign(emb, cents)
+    rows = []
+    n_exact = exact.count()
+    for nprobe in (1, 4, 8):
+        ap = ivf_topk(q, assigned, cents, k=5, nprobe=nprobe).select("q_id", "n_id")
+        hit = exact.join(ap, ["q_id", "n_id"], "left_semi").count()
+        rows.append((nprobe, n_exact, hit, round(hit / max(n_exact, 1), 4)))
+    return spark.createDataFrame(
+        rows, "nprobe int, n_exact bigint, n_hit bigint, recall_at_5 double"
+    )

@@ -146,3 +146,92 @@ def cosine_dedup_pairs(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: each vector joins its nearest centroid
+    (exact cosine over the broadcast centroid set). Returns df + `list_id`.
+
+    At 10^12 rows this is the one-time index build: a map-only stage with
+    a broadcast centroid table, output partitioned/clustered by list_id.
+    """
+    c = F.broadcast(
+        centroids.select(F.col("list_id"), F.col(vec_col).alias("c_vec"))
+    )
+    scored = df.crossJoin(c).withColumn("c_sim", cosine(F.col(vec_col), F.col("c_vec")))
+    w = W.partitionBy(id_col).orderBy(F.desc("c_sim"), F.asc("list_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "c_vec", "c_sim")
+    )
+
+
+def make_centroids(
+    corpus: DataFrame, n_lists: int = 16, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Deterministic training-free centroid set: every (corpus_size /
+    n_lists)-th vector by id order seeds one inverted list (k-means would
+    converge tighter lists but needs iterative training; for a
+    deterministic, resume-safe index build the strided seed is standard
+    practice and recall is measured, not assumed)."""
+    w = W.orderBy(id_col)
+    seeded = corpus.withColumn("_rn", F.row_number().over(w) - 1)
+    total = corpus.count()
+    stride = max(total // n_lists, 1)
+    return (
+        seeded.filter((F.col("_rn") % stride == 0) & (F.col("_rn") / stride < n_lists))
+        .withColumn("list_id", (F.col("_rn") / stride).cast("int"))
+        .select("list_id", vec_col)
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus_assigned: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: each query probes its `nprobe` nearest inverted lists,
+    exact cosine re-rank inside them. corpus_assigned = ivf_assign output.
+
+    The probe join is an equi-join on list_id — at scale the corpus is
+    clustered by list_id so only nprobe/n_lists of the data is scanned
+    per query batch (the IVF pruning effect). Recall measured vs brute
+    force in tests; deterministic tie-breaks throughout.
+    """
+    c = F.broadcast(centroids.select("list_id", F.col(vec_col).alias("c_vec")))
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    probes = (
+        q.crossJoin(c)
+        .withColumn("c_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(F.desc("c_sim"), F.asc("list_id"))
+            ),
+        )
+        .filter(F.col("_rn") <= nprobe)
+        .select("q_id", "q_vec", "list_id")
+    )
+    cand = corpus_assigned.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), "list_id"
+    )
+    pairs = cand.join(F.broadcast(probes), "list_id").filter(
+        F.col("q_id") != F.col("n_id")
+    )
+    scored = pairs.withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("n_vec")), 3))
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank_k", F.row_number().over(w))
+        .filter(F.col("rank_k") <= k)
+        .select("q_id", "n_id", "rank_k", "sim")
+    )

@@ -1,0 +1,51 @@
+"""ANN variants: brute force is the truth; LSH and IVF are scale paths
+whose recall is measured (not assumed) against it."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gtfs_osm_sync_spark.operators import similarity as SIM
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    return df.persist()
+
+
+def _recall(exact, approx):
+    e = exact.select("q_id", "n_id")
+    hit = e.join(approx.select("q_id", "n_id"), ["q_id", "n_id"], "left_semi").count()
+    return hit / max(e.count(), 1)
+
+
+def test_ivf_assignment_partitions_corpus(spark, emb):
+    cents = SIM.make_centroids(emb, n_lists=8)
+    assert cents.count() == 8
+    assigned = SIM.ivf_assign(emb, cents)
+    assert assigned.count() == emb.count()
+    n_lists = assigned.select("list_id").distinct().count()
+    assert 2 <= n_lists <= 8  # random data: most lists populated
+
+
+def test_ivf_recall_monotone_in_nprobe(spark, emb):
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    exact = SIM.brute_force_topk(q, emb, k=5)
+    cents = SIM.make_centroids(emb, n_lists=8)
+    assigned = SIM.ivf_assign(emb, cents).persist()
+    r_full = _recall(exact, SIM.ivf_topk(q, assigned, cents, k=5, nprobe=8))
+    r_half = _recall(exact, SIM.ivf_topk(q, assigned, cents, k=5, nprobe=4))
+    r_one = _recall(exact, SIM.ivf_topk(q, assigned, cents, k=5, nprobe=1))
+    assigned.unpersist()
+    # probing ALL lists = exhaustive search = recall 1.0 exactly
+    assert r_full == 1.0
+    assert r_one <= r_half + 1e-9 <= r_full + 1e-9
+
+
+def test_lsh_recall_reasonable(spark, emb):
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    exact = SIM.brute_force_topk(q, emb, k=5)
+    approx = SIM.lsh_topk(q, emb, k=5, n_bits=4)
+    r = _recall(exact, approx)
+    assert 0.05 < r <= 1.0  # 4-bit single-table LSH on random vectors: low
+    # but deterministic; the banding/multi-probe path raises it
