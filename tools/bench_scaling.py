@@ -100,7 +100,7 @@ if phase == "ingest":
     # payload synthesis + fused geotag + table write; best of 2
     n_ing = max(n // 6, 10000)
     t_ingest = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         (synth.generate_images_geo(spark, n_ing, partitions=cpus * 8,
                                    spread_scale=scale)
@@ -123,9 +123,11 @@ if phase == "mosaic":
      .option("parquet.enable.dictionary", "false")
      .parquet(stage + f"/img_{{cpus}}"))
     mos_src = spark.read.parquet(stage + f"/img_{{cpus}}")
-    t2 = time.time()
-    n_cells = mosaic_by_cell(mos_src).count()
-    t_mosaic = time.time() - t2
+    t_mosaic = float("inf")
+    for _ in range(2):
+        t2 = time.time()
+        n_cells = mosaic_by_cell(mos_src).count()
+        t_mosaic = min(t_mosaic, time.time() - t2)
     shutil.rmtree(stage + f"/img_{{cpus}}", ignore_errors=True)
     out.update(mosaic_n=n_mos, mosaic_sec=round(t_mosaic, 2),
                mosaic_images_per_sec=round(n_mos / t_mosaic, 1),
