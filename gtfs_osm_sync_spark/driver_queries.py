@@ -1596,3 +1596,84 @@ def g07(spark, sf_dir):
     return spark.createDataFrame(
         rows, "nprobe int, n_exact bigint, n_hit bigint, recall_at_5 double"
     )
+
+
+@register(
+    "q25_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+           round(max(l_extendedprice), 2) AS pmax
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q25(spark, sf_dir):
+    """Exact continuous percentiles (the deterministic counterpart of
+    percentile_approx for the oracle gate; approx sketches can't
+    cross-engine-match by construction)."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+        F.round(F.max("l_extendedprice"), 2).alias("pmax"),
+    )
+
+
+@register(
+    "q26_asof_join",
+    """
+    SELECT e.event_id, e.user_id,
+           CAST(p.event_id AS BIGINT) AS last_purchase_id,
+           CAST(coalesce(date_diff('second', p.ts, e.ts), -1) AS BIGINT)
+             AS secs_since_purchase
+    FROM (SELECT * FROM events WHERE event_type = 'click') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def q26(spark, sf_dir):
+    """As-of join (absent in the reference — SURVEY §2.3 notes Spark
+    composes it): each click joins the latest prior purchase per user.
+    Spark side: union-tag + window max-of-struct carry-forward (one sort
+    per user partition, no range explosion); oracle: DuckDB native
+    ASOF JOIN."""
+    (events,) = load(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click")
+    buys = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_event_id"),
+    )
+    tagged = clicks.select(
+        "user_id", "ts", "event_id", F.lit(None).cast("timestamp").alias("p_ts"),
+        F.lit(None).cast("long").alias("p_event_id"), F.lit(1).alias("is_click")
+    ).unionByName(
+        buys.select(
+            "user_id", F.col("p_ts").alias("ts"), F.lit(None).cast("long").alias("event_id"),
+            "p_ts", "p_event_id", F.lit(0).alias("is_click")
+        )
+    )
+    # carry the latest purchase (by ts, then event_id) forward over the
+    # user's timeline; purchases sort before clicks at equal ts so a
+    # same-instant purchase is visible to the click (ts >= p.ts)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_click").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    carried = tagged.withColumn(
+        "last_p", F.max(F.struct(F.col("p_ts"), F.col("p_event_id"))).over(w)
+    )
+    out = carried.filter(F.col("is_click") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("last_p.p_event_id").alias("last_purchase_id"),
+        F.coalesce(
+            F.unix_timestamp("ts") - F.unix_timestamp(F.col("last_p.p_ts")),
+            F.lit(-1),
+        ).cast("long").alias("secs_since_purchase"),
+    )
+    return out
