@@ -268,6 +268,21 @@ numbers (BASELINE.md). This engine assigns {r_hi['assign_images_per_sec']:,.0f}
 images/sec to tiles + nearest features at {hi} cores — the per-image work
 is O(ring cells), independent of the feature count.
 
+
+## Resumability evidence (north_rule)
+
+- In-process: tests/test_resume.py kills the chunked flagship run after 2
+  of 4 committed chunks (exception injection) and asserts the resumed
+  table equals an uninterrupted run's, plus per-chunk lineage metrics and
+  snapshot rollback.
+- Real kill: `spark-submit ... jobs/run_flagship.py --chunks 12` was
+  SIGKILLed mid-run (9/12 chunks committed, JVM killed mid-stage);
+  re-submitting with the same --run-id/--out skipped chunks 0-8, ran
+  9-11, and the final 120,000-row table was byte-identical to an
+  uninterrupted reference run (pandas assert_frame_equal). Atomicity
+  comes from SnapTable's manifest-then-pointer commit: a killed writer
+  leaves only orphan data files, never a partial snapshot.
+
 Raw JSON:
 
 ```json
