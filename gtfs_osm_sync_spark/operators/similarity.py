@@ -235,3 +235,52 @@ def ivf_topk(
         .filter(F.col("rank_k") <= k)
         .select("q_id", "n_id", "rank_k", "sim")
     )
+
+
+def lsh_topk_multiprobe(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_bits: int = 8,
+    dim: int = 64,
+    n_flip: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe sign-LSH: each query probes its own bucket plus every
+    bucket within `n_flip` bit flips (the standard multi-probe trick —
+    near-boundary neighbors land one sign flip away, so probing Hamming-1
+    buckets recovers most of the recall a single-table LSH loses, without
+    building extra tables). Probe fan-out = 1 + C(n_bits, n_flip); only
+    the QUERY side explodes, the corpus stays bucketed once."""
+    bucket = lsh_bucket(F.col(vec_col), n_bits, dim)
+    flips = [0] + [1 << b for b in range(n_bits)]
+    if n_flip >= 2:
+        flips += [
+            (1 << a) | (1 << b) for a in range(n_bits) for b in range(a + 1, n_bits)
+        ]
+    q = (
+        queries.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), bucket.alias("b0")
+        )
+        .withColumn("flip", F.explode(F.array(*[F.lit(x) for x in flips])))
+        .withColumn("bucket", F.expr("int(b0) ^ int(flip)"))
+        .drop("b0", "flip")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), bucket.alias("bucket")
+    )
+    pairs = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("q_id") != F.col("n_id"))
+        # a pair can arrive via several probed buckets: dedup BEFORE the
+        # rank so duplicates don't consume top-k slots
+        .dropDuplicates(["q_id", "n_id"])
+    )
+    scored = pairs.withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("n_vec")), 3))
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank_k", F.row_number().over(w))
+        .filter(F.col("rank_k") <= k)
+        .select("q_id", "n_id", "rank_k", "sim")
+    )

@@ -49,3 +49,14 @@ def test_lsh_recall_reasonable(spark, emb):
     r = _recall(exact, approx)
     assert 0.05 < r <= 1.0  # 4-bit single-table LSH on random vectors: low
     # but deterministic; the banding/multi-probe path raises it
+
+
+def test_multiprobe_beats_single_bucket(spark, emb):
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    exact = SIM.brute_force_topk(q, emb, k=5)
+    single = SIM.lsh_topk(q, emb, k=5, n_bits=4)
+    multi1 = SIM.lsh_topk_multiprobe(q, emb, k=5, n_bits=4, n_flip=1)
+    multi2 = SIM.lsh_topk_multiprobe(q, emb, k=5, n_bits=4, n_flip=2)
+    r0, r1, r2 = (_recall(exact, x) for x in (single, multi1, multi2))
+    assert r0 <= r1 + 1e-9 <= r2 + 2e-9
+    assert r2 > r0  # probing strictly helps on this data
