@@ -1568,9 +1568,12 @@ def q24(spark, sf_dir):
     """Scalar subquery + filter-above-global-aggregate (Catalyst subquery
     handling; absent in the reference, 'built-in' row of SURVEY §2.3)."""
     (customer,) = load(spark, sf_dir, "customer")
-    avg_bal = customer.agg(F.avg("c_acctbal")).collect()[0][0]
+    # in-plan scalar: crossJoin(broadcast(1-row agg)) keeps the subquery
+    # inside one Spark job (no driver collect / no extra action)
+    avg_bal = customer.agg(F.avg("c_acctbal").alias("_avg_bal"))
     return (
-        customer.filter(F.col("c_acctbal") > avg_bal)
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_above_avg"))
     )

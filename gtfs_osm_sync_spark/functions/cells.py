@@ -126,8 +126,14 @@ def _xyz_to_face_uv(x: np.ndarray, y: np.ndarray, z: np.ndarray):
 
 
 def _st_from_uv(u: np.ndarray) -> np.ndarray:
-    # quadratic projection (S2_QUADRATIC_PROJECTION)
-    return np.where(u >= 0, 0.5 * np.sqrt(1.0 + 3.0 * u), 1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u))
+    # quadratic projection (S2_QUADRATIC_PROJECTION). np.where evaluates
+    # BOTH branches, so clip each sqrt operand at 0 (negative only in the
+    # branch that's discarded) to avoid RuntimeWarning spam in bench logs.
+    return np.where(
+        u >= 0,
+        0.5 * np.sqrt(np.maximum(1.0 + 3.0 * u, 0.0)),
+        1.0 - 0.5 * np.sqrt(np.maximum(1.0 - 3.0 * u, 0.0)),
+    )
 
 
 def _uv_from_st(s: np.ndarray) -> np.ndarray:
@@ -350,9 +356,10 @@ def make_hex_ring_adaptive_udf(radius_m: float, res: int = 9, k_cap: int = 16):
             hex_rings_needed_np(radius_m, res, lat.to_numpy(np.float64)), k_cap
         )
         resv, q, r = hex_cell_unpack(cid)
-        out = []
         kmax = int(ks.max()) if len(ks) else 1
-        # offsets for the max ring once; per-row slice by hex distance
+        # offsets for the max ring once; bucket rows by their distinct k
+        # (a handful of values per batch) and expand each bucket as ONE
+        # 2-D broadcast — no per-row Python loop.
         offs = [
             (dq, dr)
             for dq in range(-kmax, kmax + 1)
@@ -363,16 +370,20 @@ def make_hex_ring_adaptive_udf(radius_m: float, res: int = 9, k_cap: int = 16):
         hexdist = np.maximum(
             np.maximum(np.abs(dqs), np.abs(drs)), np.abs(dqs + drs)
         )
-        for i in range(len(cid)):
-            m = hexdist <= ks[i]
-            qn = q[i] + dqs[m]
-            rn = r[i] + drs[m]
-            out.append(
-                (np.int64(resv[i]) << np.int64(58))
+        out = np.empty(len(cid), dtype=object)
+        for k in np.unique(ks):
+            rows = np.nonzero(ks == k)[0]
+            m = hexdist <= k
+            dq_k, dr_k = dqs[m], drs[m]
+            qn = q[rows][:, None] + dq_k[None, :]
+            rn = r[rows][:, None] + dr_k[None, :]
+            cells2d = (
+                (resv[rows][:, None].astype(np.int64) << np.int64(58))
                 | ((qn + _HEX_OFF) << np.int64(29))
                 | (rn + _HEX_OFF)
             )
-        return pd.Series(out)
+            out[rows] = list(cells2d)
+        return pd.Series(list(out))
 
     return hex_ring_adaptive
 

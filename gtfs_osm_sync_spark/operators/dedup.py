@@ -136,6 +136,8 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    df_cap: int | None = None,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (or all co-shingled pairs).
 
@@ -143,10 +145,42 @@ def jaccard_pairs(
     the shingle — the scalable formulation: never materializes the full
     pair matrix, only pairs that actually share a shingle).
     Returns (id_a, id_b, jaccard) with jaccard rounded to 6 dp.
+
+    Scale guards (the self-join is quadratic in per-shingle doc frequency):
+    - when `candidates` is given, the shingle table is FIRST semi-joined to
+      the candidate doc-id set, so only documents that appear in some
+      candidate pair enter the self-join (exactness unchanged — pairs are
+      still filtered to candidate pairs after aggregation);
+    - `df_cap` drops shingles whose document frequency exceeds the cap
+      BEFORE the self-join (one hot shingle shared by 1M docs would emit
+      ~10^12 pairs). With a cap the result is the exact Jaccard over the
+      reduced shingle universe (both n_inter and the per-doc sizes exclude
+      capped shingles — a consistent definition, mirrorable in plain SQL).
+      Pass a dict as `metrics` to receive `dropped_shingles` (a lazy
+      DataFrame of the capped shingles + their doc frequency) for
+      surfacing drop counts in job telemetry.
     """
     sh = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle")
     ).distinct()
+    if candidates is not None:
+        cand_ids = (
+            candidates.select(F.col("id_a").alias(id_col))
+            .union(candidates.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        sh = sh.join(cand_ids, id_col, "left_semi")
+    if df_cap is not None:
+        sh = sh.withColumn(
+            "_df", F.count("*").over(W.partitionBy("shingle"))
+        )
+        if metrics is not None:
+            metrics["dropped_shingles"] = (
+                sh.filter(F.col("_df") > df_cap)
+                .select("shingle", F.col("_df").alias("doc_freq"))
+                .distinct()
+            )
+        sh = sh.filter(F.col("_df") <= df_cap).drop("_df")
     counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")

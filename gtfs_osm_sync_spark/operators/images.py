@@ -24,6 +24,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.codecs import decode_image, png_encode, psnr
@@ -94,9 +95,12 @@ MOSAIC_SCHEMA = T.StructType(
 def assemble_mosaic_pdf(
     pdf: pd.DataFrame, cell_px: int = 32, max_images_per_cell: int = 256
 ) -> pd.DataFrame:
-    """One cell's mosaic: deterministic order, bounded canvas."""
+    """One cell's mosaic: deterministic order, bounded canvas.
+
+    If the caller pre-limited the group (mosaic_by_cell), `_n_total`
+    carries the true cell population; otherwise it's len(pdf)."""
     pdf = pdf.sort_values("image_id")
-    n_total = len(pdf)
+    n_total = int(pdf["_n_total"].iloc[0]) if "_n_total" in pdf.columns and len(pdf) else len(pdf)
     pdf = pdf.head(max_images_per_cell)
     n = len(pdf)
     grid = max(int(math.ceil(math.sqrt(n))), 1)
@@ -130,13 +134,27 @@ def mosaic_by_cell(
 ) -> DataFrame:
     """A10: groupBy(hex_cell).applyInPandas(assemble_mosaic).
 
-    The shuffle key is the cell; skewed cells are bounded by the cap, so
-    the max task payload is max_images_per_cell * image_size.
+    Skew guard: rows per cell are capped BEFORE the pandas group is
+    materialized. applyInPandas loads the entire group into one task's
+    pandas memory (no spill), so a hot urban cell would otherwise OOM
+    regardless of what the UDF later drops. The row_number window runs on
+    the same hex_cell key, so Catalyst plans ONE exchange: the window
+    (whose buffer spills to disk, unlike pandas) ranks and filters, then
+    the applyInPandas group — guaranteed <= cap rows — reuses the same
+    partitioning. n_dropped comes from a count(*) window on the same key.
     """
+    from pyspark.sql import Window as W
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         return assemble_mosaic_pdf(pdf, cell_px, max_images_per_cell)
 
-    return images_geo.select("hex_cell", "image_id", "bytes", "fmt").groupBy(
-        "hex_cell"
-    ).applyInPandas(fn, MOSAIC_SCHEMA)
+    wr = W.partitionBy("hex_cell").orderBy("image_id")
+    wc = W.partitionBy("hex_cell")
+    ranked = (
+        images_geo.select("hex_cell", "image_id", "bytes", "fmt")
+        .withColumn("_n_total", F.count("*").over(wc))
+        .withColumn("_rn", F.row_number().over(wr))
+        .filter(F.col("_rn") <= max_images_per_cell)
+        .drop("_rn")
+    )
+    return ranked.groupBy("hex_cell").applyInPandas(fn, MOSAIC_SCHEMA)

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.cells import hex_cell_np, hex_cell_unpack, _HEX_OFF
+from ..functions.cells import _hex_axial, _HEX_OFF, make_hex_cell_udf
 
 
 def parse_wkb_polygon(wkb: bytes) -> np.ndarray:
@@ -80,22 +80,33 @@ def polygon_cells(poly_pdf: pd.DataFrame, res: int = 9, max_cells: int = 200_000
     Returns (poly_id, hex_cell nullable).
     """
     rows: list[tuple[str, int | None]] = []
-    for _, r in poly_pdf.iterrows():
-        c_lo = hex_cell_np(np.array([r.min_lat]), np.array([r.min_lon]), res)[0]
-        c_hi = hex_cell_np(np.array([r.max_lat]), np.array([r.max_lon]), res)[0]
-        _, q0, r0 = hex_cell_unpack(np.array([c_lo]))
-        _, q1, r1 = hex_cell_unpack(np.array([c_hi]))
-        qs = range(int(min(q0[0], q1[0])) - 1, int(max(q0[0], q1[0])) + 2)
-        rs = range(int(min(r0[0], r1[0])) - 1, int(max(r0[0], r1[0])) + 2)
-        n = len(qs) * len(rs)
+    for _, row in poly_pdf.iterrows():
+        # axial q depends on BOTH lon and lat (q = (sqrt3/3*x - y/3)/size),
+        # so q/r extremes must come from ALL FOUR bbox corners — the two
+        # diagonal corners alone miss the (min_lat,max_lon)/(max_lat,min_lon)
+        # q extremes and drop ~half the interior cells. qf/rf are linear in
+        # (x, y), so over a rectangle their extremes ARE at corners; pad 2
+        # for cube rounding. Over-coverage (the full q x r rectangle) only
+        # adds candidates; the exact ray-cast removes them.
+        lats = np.array([row.min_lat, row.min_lat, row.max_lat, row.max_lat])
+        lons = np.array([row.min_lon, row.max_lon, row.min_lon, row.max_lon])
+        qc, rc = _hex_axial(lats, lons, res)
+        q_lo, q_hi = int(qc.min()) - 2, int(qc.max()) + 2
+        r_lo, r_hi = int(rc.min()) - 2, int(rc.max()) + 2
+        n = (q_hi - q_lo + 1) * (r_hi - r_lo + 1)
         if n > max_cells:
-            rows.append((r.poly_id, None))
+            rows.append((row.poly_id, None))
             continue
-        for q in qs:
-            for rr in rs:
+        for q in range(q_lo, q_hi + 1):
+            for rr in range(r_lo, r_hi + 1):
                 cell = (res << 58) | ((q + _HEX_OFF) << 29) | (rr + _HEX_OFF)
-                rows.append((r.poly_id, int(cell)))
-    return pd.DataFrame(rows, columns=["poly_id", "hex_cell"])
+                rows.append((row.poly_id, int(cell)))
+    out = pd.DataFrame(rows, columns=["poly_id", "hex_cell"])
+    # a None (giant-polygon marker) must NOT upcast the int64 cell ids to
+    # float64 (2^53 mantissa silently corrupts ~2.6e18 cell ids): force
+    # the nullable Int64 extension dtype.
+    out["hex_cell"] = pd.array([r[1] for r in rows], dtype="Int64")
+    return out
 
 
 def pip_join(
@@ -104,25 +115,71 @@ def pip_join(
     lat_col: str = "lat",
     lon_col: str = "lon",
     id_col: str = "image_id",
+    res: int = 7,
+    use_cells: bool = True,
+    max_cells: int = 200_000,
 ) -> DataFrame:
     """All (point, polygon) pairs where the point lies inside the polygon.
 
-    Plan: bbox candidate filter (range predicates on the broadcast polygon
-    side -> BroadcastNestedLoopJoin over tiny dims; with polygon_cells it
-    becomes a hash join) then the exact ray-cast pandas UDF on survivors.
+    Plan (use_cells=True, the scale path): polygons expand to their
+    covering hex cells via mapInPandas (distributed over the polygon
+    side); points compute their own cell; candidates come from a
+    BroadcastHashJoin on hex_cell — an equi-join Catalyst can hash,
+    instead of a BroadcastNestedLoopJoin over bbox theta predicates.
+    Polygons whose covering exceeds `max_cells` (continental/global bands)
+    fall back to the bbox range join, disjoint by poly_id. A bbox refine
+    filter after the cell join discards ring-overhang candidates cheaply
+    in codegen before the exact ray-cast pandas UDF runs on survivors.
+    `res` controls only the COVERING granularity (exactness comes from
+    the ray cast): coarser cells = smaller cell table, more candidate
+    overhang; res 7 (~1.2 km edge) suits city-scale polygon layers.
+
+    At a 10^5-polygon layer the cell table is the only broadcast growth;
+    if it outgrows broadcast the same equi-join shuffles on hex_cell —
+    still a hash join, never all-pairs.
     """
-    polys = F.broadcast(
-        polygons.select(
-            "poly_id", "wkb", "min_lat", "max_lat", "min_lon", "max_lon"
-        )
-    )
-    cand = points.select(id_col, lat_col, lon_col).join(
-        polys,
+    polys_cols = ["poly_id", "wkb", "min_lat", "max_lat", "min_lon", "max_lon"]
+    polys = polygons.select(*polys_cols)
+    bbox_pred = (
         (F.col(lat_col) >= F.col("min_lat"))
         & (F.col(lat_col) <= F.col("max_lat"))
         & (F.col(lon_col) >= F.col("min_lon"))
-        & (F.col(lon_col) <= F.col("max_lon")),
+        & (F.col(lon_col) <= F.col("max_lon"))
     )
+    pts = points.select(id_col, lat_col, lon_col)
+    if use_cells:
+        cell_schema = T.StructType(
+            [
+                T.StructField("poly_id", T.StringType()),
+                T.StructField("hex_cell", T.LongType()),
+            ]
+        )
+
+        def cover(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf):
+                    yield polygon_cells(pdf, res=res, max_cells=max_cells)
+
+        pcells = polys.mapInPandas(cover, cell_schema)
+        normal = pcells.filter(F.col("hex_cell").isNotNull())
+        giant_ids = pcells.filter(F.col("hex_cell").isNull()).select("poly_id")
+
+        pts_cells = pts.withColumn(
+            "hex_cell", make_hex_cell_udf(res)(F.col(lat_col), F.col(lon_col))
+        )
+        cand_normal = (
+            pts_cells.join(F.broadcast(normal), "hex_cell")
+            .join(F.broadcast(polys), "poly_id")
+            .filter(bbox_pred)
+            .drop("hex_cell")
+        )
+        giants = polys.join(giant_ids, "poly_id", "left_semi")
+        cand_giant = pts.join(F.broadcast(giants), bbox_pred)
+        cand = cand_normal.select(id_col, lat_col, lon_col, "poly_id", "wkb").unionByName(
+            cand_giant.select(id_col, lat_col, lon_col, "poly_id", "wkb")
+        )
+    else:
+        cand = pts.join(F.broadcast(polys), bbox_pred)
 
     out_schema = T.StructType(
         [

@@ -76,7 +76,11 @@ def route_variants(stop_times: DataFrame, trips: DataFrame) -> DataFrame:
         F.min("trip_id").alias("variant_id"),
         F.sort_array(F.collect_list("trip_id")).alias("same_trip_sequences"),
         F.count("*").alias("n_trips"),
-        F.first("stops").alias("stops"),
+        # representative stops array = the min-trip_id trip's, matching
+        # variant_id. F.first would be nondeterministic: trips in one
+        # variant share (stop_id,pickup,drop_off) but NOT arrival times,
+        # so first() made the times (and duration) partition-order luck.
+        F.min_by(F.col("stops"), F.col("trip_id")).alias("stops"),
     )
 
 

@@ -175,18 +175,29 @@ def ivf_assign(
 def make_centroids(
     corpus: DataFrame, n_lists: int = 16, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """Deterministic training-free centroid set: every (corpus_size /
-    n_lists)-th vector by id order seeds one inverted list (k-means would
+    """Deterministic training-free centroid set: the n_lists vectors with
+    the smallest xxhash64(id) seed the inverted lists (k-means would
     converge tighter lists but needs iterative training; for a
-    deterministic, resume-safe index build the strided seed is standard
-    practice and recall is measured, not assumed)."""
-    w = W.orderBy(id_col)
-    seeded = corpus.withColumn("_rn", F.row_number().over(w) - 1)
-    total = corpus.count()
-    stride = max(total // n_lists, 1)
+    deterministic, resume-safe index build a hash-uniform seed is standard
+    practice and recall is measured, not assumed).
+
+    Scale: `orderBy(hash).limit(n)` lowers to TakeOrderedAndProject — a
+    per-partition top-n heap followed by a merge of n_lists rows per
+    partition. No global sort, no extra count() action, no window over the
+    full corpus; map-only at any corpus size. The final list_id assignment
+    is a window over exactly n_lists rows."""
+    seeds = (
+        corpus.select(F.col(id_col).alias("_sid"), F.col(vec_col))
+        .withColumn("_h", F.xxhash64(F.col("_sid")))
+        .orderBy("_h", "_sid")
+        .limit(n_lists)
+    )
+    # single-partition window is intentional and bounded: it sees exactly
+    # n_lists rows (post-limit); partitionBy(lit) silences the global-window
+    # warning without changing the plan
+    w = W.partitionBy(F.lit(0)).orderBy("_h", "_sid")
     return (
-        seeded.filter((F.col("_rn") % stride == 0) & (F.col("_rn") / stride < n_lists))
-        .withColumn("list_id", (F.col("_rn") / stride).cast("int"))
+        seeds.withColumn("list_id", (F.row_number().over(w) - 1).cast("int"))
         .select("list_id", vec_col)
     )
 

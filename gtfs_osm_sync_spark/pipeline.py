@@ -64,11 +64,13 @@ def assign_images(
     images_geo must already carry lat/lon/hex_cell (geotag_images) — at
     scale that is the stored table scan, and callers persist the chunk.
     """
+    # lpad TRUNCATES strings longer than the pad width, so ids >= 1e8
+    # would silently never id-match the feature side (which zero-pads
+    # without truncating): only pad when shorter, else keep as-is.
+    stripped = F.regexp_replace(F.regexp_replace("image_id", "^img", ""), "^0+", "")
     geo = images_geo.withColumn(
         "gtfs_id_img",
-        F.lpad(
-            F.regexp_replace(F.regexp_replace("image_id", "^img", ""), "^0+", ""), 8, "0"
-        ),
+        F.when(F.length(stripped) < 8, F.lpad(stripped, 8, "0")).otherwise(stripped),
     )
     # column pruning by hand where it matters: the candidate join shuffles
     # |candidates| ~ 6x |pairs| rows — carry only the join-relevant columns

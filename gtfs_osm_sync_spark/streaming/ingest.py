@@ -35,8 +35,19 @@ def stream_images_to_table(
     """Start (and with trigger_once=True, drain) a file-source stream that
     geotags incoming image rows and appends them atomically.
 
+    checkpoint_dir is REQUIRED: Spark's batch_id restarts at 0 without a
+    checkpoint, so a re-run with the same run_id would find batch 0 in the
+    ledger and silently skip never-ingested files. The effectively-once
+    skip is only sound when batch ids are durable.
+
     Returns the StreamingQuery (already stopped if trigger_once).
     """
+    if not checkpoint_dir:
+        raise ValueError(
+            "checkpoint_dir is required: without a durable streaming "
+            "checkpoint, batch_id restarts at 0 on re-run and the "
+            "effectively-once ledger would skip fresh batches (data loss)"
+        )
     table = SnapTable(table_root)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
