@@ -1680,3 +1680,67 @@ def q26(spark, sf_dir):
         ).cast("long").alias("secs_since_purchase"),
     )
     return out
+
+
+@register("g08_hart_fixture_parity", None)
+def g08(spark, sf_dir):
+    """End-to-end golden run on the reference's OWN data: GTFS_Temp
+    (3,802 HART stops) x DataFromServer.osm (7,029 nodes) through the OSM
+    XML source + compare pipeline (operator gate, padded-id Vincenty
+    match, category, tag merge) and the K1 export, diffed row-by-row
+    against the reference's committed exportGtfsValueWithOsmTags.csv
+    (task/CompareData.java:1000-1290, io/WriteFile.java:214-296).
+
+    Returns the category histogram plus parity counters: CLEAN_SUBSET =
+    stops whose GTFS inputs are byte-identical across feed vintages,
+    EXPORT_EXACT = rows reproduced exactly (canonical tag order). The
+    residual gap is OSM-snapshot drift in the committed fixture, not
+    semantics (tests/test_osmxml_compare.py pins both numbers)."""
+    import csv as _csv
+
+    from .operators import compare as C
+    from .sources import gtfs as G
+    from .sources import osmxml
+
+    ref_dir = "/root/reference/Data"
+    agency = "Hillsborough Area Regional Transit"
+    stops = G.read_stops(spark, f"{ref_dir}/GTFS_Temp/stops.txt", id_digits=4, operator=agency)
+    nodes = osmxml.osm_nodes(osmxml.read_osm_xml(spark, f"{ref_dir}/DataFromServer.osm"))
+    cmp = C.compare_stops(stops, nodes, agency_names=[agency, "HART"])
+    exp = C.export_gtfs_value_with_osm_tags(
+        cmp, ["stop_id", "stop_code", "stop_name", "stop_lat", "stop_lon"]
+    )
+    mine = {r["stop_id"]: r.asDict() for r in exp.collect()}
+    cats = {
+        r["category"]: r["cnt"]
+        for r in cmp.groupBy("category").agg(F.count("*").alias("cnt")).collect()
+    }
+
+    def rd(path):
+        with open(path, encoding="utf-8-sig") as f:
+            return {r["stop_id"].zfill(4): r for r in _csv.DictReader(f)}
+
+    stops_csv = rd(f"{ref_dir}/GTFS_Temp/stops.txt")
+    ref_gtfsonly = rd(f"{ref_dir}/exportGtfsValueGtfsOnly.csv")
+    ref = rd(f"{ref_dir}/exportGtfsValueWithOsmTags.csv")
+    canon = lambda s: "|".join(sorted(s.split("|"))) if s else ""  # noqa: E731
+    clean = [
+        sid
+        for sid, s in stops_csv.items()
+        if (e := ref_gtfsonly.get(sid)) is not None
+        and s["stop_name"] == e["stop_name"]
+        and s["stop_lat"] == e["stop_lat"]
+        and s["stop_lon"] == e["stop_lon"]
+        and s["stop_code"].zfill(4) == e["stop_code"].zfill(4)
+    ]
+    exact = sum(
+        1
+        for sid in clean
+        if canon(ref[sid]["OSM_TAGs"]) == canon(mine[sid]["OSM_TAGs"] or "")
+    )
+    rows = sorted(cats.items()) + [
+        ("CLEAN_SUBSET", len(clean)),
+        ("EXPORT_EXACT", exact),
+        ("TOTAL_STOPS", len(mine)),
+    ]
+    return spark.createDataFrame(rows, "metric string, n bigint")

@@ -13,8 +13,11 @@ from pyspark.sql import functions as F
 
 def zero_pad_id(col: Column, digits: int) -> Column:
     """F2: zero-pad stop ids to the operator digit count
-    (tools/OsmFormatter.java:36-42)."""
-    return F.lpad(col.cast("string"), digits, "0")
+    (tools/OsmFormatter.java:36-42). The reference only PREPENDS zeros;
+    plain lpad would truncate ids longer than `digits`, so pad only when
+    shorter."""
+    s = col.cast("string")
+    return F.when(F.length(s) < digits, F.lpad(s, digits, "0")).otherwise(s)
 
 
 def xml_escape(col: Column) -> Column:

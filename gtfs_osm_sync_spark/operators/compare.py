@@ -1,0 +1,296 @@
+"""GTFS-stop x OSM-node compare pipeline on real OSM data (the
+reference's core task re-expressed as DataFrame joins).
+
+Reference semantics (task/CompareData.java:1000-1290):
+
+- operator gate: an OSM node participates only if its network tag is
+  absent, 'missing', or matches the agency (OperatorInfo.java:112-126
+  bidirectional case-insensitive containment) — CompareData.java:1040-1054.
+- id match: node gtfs_id (zero-padded, OsmFormatter.java:36-42) equals a
+  stop's id AND Vincenty distance < 400 m (CompareData.java:1068-1075).
+  The node iteration is sequential file order and a matched stop enters
+  noUpload, so when several nodes carry the same gtfs_id the FIRST in
+  document order wins -> we rank candidates by (file_idx, elem_idx).
+- category: distance <= 0.5 m (ERROR_TO_ZERO) and tag diff empty ->
+  NOTHING_NEW; otherwise MODIFY (both the moved-location and
+  different-tags branches, CompareData.java:1076-1148).
+- tag diff (compareOsmTags, CompareData.java:443-467): for each gtfs tag
+  k=v the OSM side must have k with a case-insensitively equal value, or
+  a value containing v as a substring; anything else is a diff.
+- conflicts: a stop with NO id match that has some eligible node within
+  (0.5 m, 400 m) whose gtfs_id is not any GTFS id (null / 'missing' /
+  foreign) is UPLOAD_CONFLICT with a FIXME tag
+  (CompareData.java:1152-1222); everything else is UPLOAD_NO_CONFLICT
+  (CompareData.java:1262-1283).
+- merged tags: MODIFY keys take OSM values as default (addToReport,
+  CompareData.java:290-299: addAndOverwriteTags(osm) + gtfs_id restored);
+  NOTHING_NEW keeps gtfs values and only ADDS osm-only keys
+  (OsmPrimitive.addTags, non-overwriting).
+
+Plan shape: the id match is a hash equi-join on the padded id (cheap,
+exact); the conflict probe is the cell-prejoin radius join (ring-exploded
+SMALL gtfs side, hash join on hex_cell, haversine prefilter in codegen,
+exact Vincenty only on survivors). No O(N*M) scan anywhere — the
+reference's nested parallelStream loop (CompareData.java:1016-1069)
+becomes two hash joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..functions.geo import haversine_m_col, vincenty_m_udf
+from ..functions.mappings import zero_pad_id
+from ..operators.spatial_join import HEX_RES
+from ..functions.cells import make_hex_cell_udf, make_hex_ring_adaptive_udf
+
+RANGE_M = 400.0  # CompareData.java:129
+ERROR_TO_ZERO_M = 0.5  # CompareData.java:127
+FIXME_REDUNDANT = "This bus stop could be redundant"  # CompareData.java:1155
+
+
+def operator_gate(op_col, agency_names: list[str]):
+    """OperatorInfo.isTheSameOperator as a Column predicate
+    (OperatorInfo.java:112-126): NULL or 'missing' passes; otherwise
+    BIDIRECTIONAL case-insensitive containment against any configured
+    agency name/abbreviation/alias."""
+    up = F.upper(op_col)
+    cond = op_col.isNull() | (op_col == "missing")
+    for name in agency_names:
+        n = F.lit(name.upper())
+        cond = cond | up.contains(n) | n.contains(up)
+    return cond
+
+
+def gtfs_tag_map(gtfs: DataFrame, network_key: str = "operator") -> DataFrame:
+    """The reference gtfs Stop's tag table (Stop.java:40-84 constructor +
+    GTFSReadIn.java:148-213 gtfs_<col> extras): gtfs_id, <network_key>,
+    name, plus every gtfs_* column. Emitted as a map column `g_tags`
+    built at plan time from the frame's schema."""
+    pairs = [F.lit("gtfs_id"), F.col("gtfs_id"), F.lit(network_key), F.col("operator"),
+             F.lit("name"), F.coalesce(F.col("name_raw"), F.lit("none"))]
+    for c in gtfs.columns:
+        if c.startswith("gtfs_") and c != "gtfs_id":
+            pairs += [F.lit(c), F.col(c)]
+    m = F.map_filter(F.create_map(*pairs), lambda k, v: v.isNotNull() & (v != ""))
+    return gtfs.withColumn("g_tags", m)
+
+
+def _diff_empty(osm_tags, g_tags):
+    """compareOsmTags(osm, gtfs).isEmpty() as a Column: every gtfs tag key
+    must exist on the OSM side with an equal (case-insensitive) value or
+    a value containing it (CompareData.java:443-467)."""
+    return F.forall(
+        F.map_entries(g_tags),
+        lambda e: F.element_at(osm_tags, e["key"]).isNotNull()
+        & (
+            (F.upper(F.element_at(osm_tags, e["key"])) == F.upper(e["value"]))
+            | F.element_at(osm_tags, e["key"]).contains(e["value"])
+        ),
+    )
+
+
+def compare_stops(
+    gtfs: DataFrame,
+    nodes: DataFrame,
+    agency_names: list[str],
+    id_digits: int = 4,
+    radius_m: float = RANGE_M,
+    network_key: str = "operator",
+) -> DataFrame:
+    """Categorize every GTFS stop against the OSM node layer.
+
+    Returns one row per stop: (gtfs_id, category, osm_id, osm_version,
+    osm_user, osm_timestamp, dist_m, osm_tags, merged_tags, lat, lon,
+    final_lat, final_lon) — merged_tags per the reference's
+    finalStops default-value rules.
+    """
+    g = gtfs_tag_map(gtfs, network_key)
+
+    n = nodes.filter(
+        operator_gate(F.col("tags").getItem(network_key), agency_names)
+    ).select(
+        F.col("osm_id"),
+        F.col("version").cast("int").cast("string").alias("osm_version"),
+        F.col("user").alias("osm_user"),
+        F.col("timestamp").alias("osm_timestamp"),
+        F.col("lat").alias("o_lat"),
+        F.col("lon").alias("o_lon"),
+        F.col("tags").alias("osm_tags"),
+        F.when(
+            F.col("tags").getItem("gtfs_id").isNotNull()
+            & (F.col("tags").getItem("gtfs_id") != "missing"),
+            zero_pad_id(F.col("tags").getItem("gtfs_id"), id_digits),
+        ).alias("osm_gtfs_id"),
+        (F.col("file_idx").cast("long") * F.lit(1 << 40) + F.col("elem_idx")).alias(
+            "doc_order"
+        ),
+    )
+
+    # ---- id matches: hash equi-join on the padded id, exact Vincenty gate
+    idm = (
+        g.join(n, g["gtfs_id"] == n["osm_gtfs_id"])
+        .withColumn(
+            "dist_m", vincenty_m_udf(F.col("o_lat"), F.col("o_lon"), F.col("lat"), F.col("lon"))
+        )
+        .filter(F.col("dist_m") < radius_m)
+    )
+    first_wins = W.partitionBy("gtfs_id").orderBy("doc_order")
+    best = (
+        idm.withColumn("_rn", F.row_number().over(first_wins))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    best = best.withColumn(
+        "category",
+        F.when(
+            (F.col("dist_m") <= ERROR_TO_ZERO_M)
+            & _diff_empty(F.col("osm_tags"), F.col("g_tags")),
+            F.lit("NOTHING_NEW"),
+        ).otherwise(F.lit("MODIFY")),
+    )
+    # merged tags: MODIFY -> osm values win, gtfs_id restored; NOTHING_NEW
+    # -> gtfs values win, osm-only keys added. map_zip_with merges by key.
+    osm_wins = F.map_zip_with(
+        F.col("g_tags"), F.col("osm_tags"), lambda k, gv, ov: F.coalesce(ov, gv)
+    )
+    gtfs_wins = F.map_zip_with(
+        F.col("g_tags"), F.col("osm_tags"), lambda k, gv, ov: F.coalesce(gv, ov)
+    )
+    best = best.withColumn(
+        "merged_tags",
+        F.when(
+            F.col("category") == "MODIFY",
+            F.map_zip_with(
+                osm_wins,
+                F.create_map(F.lit("gtfs_id"), F.col("gtfs_id")),
+                lambda k, mv, idv: F.coalesce(idv, mv),
+            ),
+        ).otherwise(gtfs_wins),
+    ).withColumn(
+        "final_lat", F.when(F.col("category") == "MODIFY", F.col("o_lat")).otherwise(F.col("lat"))
+    ).withColumn(
+        "final_lon", F.when(F.col("category") == "MODIFY", F.col("o_lon")).otherwise(F.col("lon"))
+    )
+
+    matched_ids = best.select("gtfs_id")
+
+    # ---- conflict probe for the UNMATCHED stops: cell-prejoin radius join
+    unmatched = g.join(matched_ids, "gtfs_id", "left_anti")
+    foreign = n.join(
+        g.select(F.col("gtfs_id").alias("osm_gtfs_id")).distinct(),
+        "osm_gtfs_id",
+        "left_anti",
+    )
+    hexc = make_hex_cell_udf(HEX_RES)
+    ring = make_hex_ring_adaptive_udf(radius_m, HEX_RES)
+    u = unmatched.withColumn("_c", hexc("lat", "lon")).withColumn(
+        "hex_cell", F.explode(ring(F.col("_c"), F.col("lat")))
+    )
+    fn = foreign.withColumn("hex_cell", hexc("o_lat", "o_lon"))
+    cand = (
+        u.join(F.broadcast(fn), "hex_cell")
+        .withColumn(
+            "_pre", haversine_m_col(F.col("lat"), F.col("lon"), F.col("o_lat"), F.col("o_lon"))
+        )
+        .filter(F.col("_pre") < radius_m * 1.01)
+        .withColumn(
+            "dist_m", vincenty_m_udf(F.col("o_lat"), F.col("o_lon"), F.col("lat"), F.col("lon"))
+        )
+        .filter((F.col("dist_m") > ERROR_TO_ZERO_M) & (F.col("dist_m") < radius_m))
+    )
+    conflict_ids = cand.select("gtfs_id").distinct()
+
+    conflicts = (
+        unmatched.join(conflict_ids, "gtfs_id", "left_semi")
+        .withColumn("category", F.lit("UPLOAD_CONFLICT"))
+        .withColumn(
+            "merged_tags",
+            F.map_zip_with(
+                F.col("g_tags"),
+                F.create_map(F.lit("FIXME"), F.lit(FIXME_REDUNDANT)),
+                lambda k, gv, fv: F.coalesce(gv, fv),
+            ),
+        )
+    )
+    clean = (
+        unmatched.join(conflict_ids, "gtfs_id", "left_anti")
+        .withColumn("category", F.lit("UPLOAD_NO_CONFLICT"))
+        .withColumn("merged_tags", F.col("g_tags"))
+    )
+
+    null_osm = [
+        F.lit(None).cast("string").alias(c)
+        for c in ("osm_id", "osm_version", "osm_user", "osm_timestamp")
+    ]
+    out_cols = [
+        "gtfs_id", "category", "osm_id", "osm_version", "osm_user", "osm_timestamp",
+        "dist_m", "osm_tags", "merged_tags", "lat", "lon", "final_lat", "final_lon",
+        "lat_raw", "lon_raw", "name_raw", "g_tags",
+    ]
+    unmatched_shape = (
+        lambda df: df.select(
+            "gtfs_id", "category", *null_osm,
+            F.lit(None).cast("double").alias("dist_m"),
+            F.lit(None).cast("map<string,string>").alias("osm_tags"),
+            "merged_tags", "lat", "lon",
+            F.col("lat").alias("final_lat"), F.col("lon").alias("final_lon"),
+            "lat_raw", "lon_raw", "name_raw", "g_tags",
+        )
+    )
+    return (
+        best.select(*out_cols)
+        .unionByName(unmatched_shape(conflicts))
+        .unionByName(unmatched_shape(clean))
+    )
+
+
+# export removals: WriteFile.exportStops, io/WriteFile.java:267-272
+_EXPORT_DROP = ("name", "source", "highway", "gtfs_id")
+
+
+def export_gtfs_value_with_osm_tags(
+    compared: DataFrame,
+    gtfs_fields: list[str],
+    network_key: str = "operator",
+) -> DataFrame:
+    """K1 'GTFS value + OSM tags' export (io/WriteFile.java:214-296 with
+    gui/ReportViewer.java:3217-3228 semantics: agency gtfs values for the
+    CSV fields, merged tags minus consumed/suppressed keys as a k=v|k=v
+    column). Tag order canonicalized (sorted) — the reference emits
+    java.util.Hashtable iteration order, which is not a contract.
+    """
+    consumed = [f"gtfs_{f}" for f in gtfs_fields] + ["url", "transport:zone"]
+    drop = set(_EXPORT_DROP) | {network_key} | set(consumed)
+    # agency value wins for keys the agency stop carries (addTags is
+    # non-overwriting): g_tags keys keep their gtfs value
+    agency_wins = F.map_zip_with(
+        F.col("g_tags"), F.col("merged_tags"), lambda k, gv, mv: F.coalesce(gv, mv)
+    )
+    kept = F.map_filter(
+        agency_wins,
+        lambda k, v: ~k.isin(*sorted(drop)) & (k != "none") & (k != ""),
+    )
+    osm_tags_str = F.array_join(
+        F.transform(
+            F.array_sort(F.map_entries(kept)),
+            lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+        ),
+        "|",
+    )
+    cols = [F.col("gtfs_id").alias("stop_id")]
+    for f_ in gtfs_fields:
+        if f_ == "stop_id":
+            continue
+        elif f_ == "stop_name":
+            cols.append(F.col("name_raw").alias("stop_name"))
+        elif f_ == "stop_lat":
+            cols.append(F.col("lat_raw").alias("stop_lat"))
+        elif f_ == "stop_lon":
+            cols.append(F.col("lon_raw").alias("stop_lon"))
+        else:
+            cols.append(F.element_at(F.col("g_tags"), F.lit(f"gtfs_{f_}")).alias(f_))
+    cols.append(osm_tags_str.alias("OSM_TAGs"))
+    return compared.select(*cols)

@@ -68,11 +68,19 @@ def read_stops(
             df = df.withColumnRenamed(col, f"gtfs_{col}")
     if "gtfs_id" in df.columns and id_digits > 0:
         df = df.withColumn("gtfs_id", zero_pad_id(F.col("gtfs_id"), id_digits))
-    df = df.withColumn("lat", F.col("lat").cast("double")).withColumn(
-        "lon", F.col("lon").cast("double")
+    # raw string copies survive for byte-parity exports (the reference's
+    # Stop keeps lat/lon/name as the raw CSV strings; WriteFile emits them
+    # verbatim — exportStops, io/WriteFile.java:236-246)
+    df = (
+        df.withColumn("lat_raw", F.col("lat"))
+        .withColumn("lon_raw", F.col("lon"))
+        .withColumn("lat", F.col("lat").cast("double"))
+        .withColumn("lon", F.col("lon").cast("double"))
     )
     if "name" in df.columns:
-        df = df.withColumn("name", squeeze_whitespace(F.col("name")))
+        df = df.withColumn("name_raw", F.col("name")).withColumn(
+            "name", squeeze_whitespace(F.col("name"))
+        )
     if "location_type" in df.columns:
         df = df.withColumn(
             "public_transport", location_type_to_osm(F.col("location_type"))
