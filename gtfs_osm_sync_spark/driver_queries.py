@@ -1744,3 +1744,134 @@ def g08(spark, sf_dir):
         ("TOTAL_STOPS", len(mine)),
     ]
     return spark.createDataFrame(rows, "metric string, n bigint")
+
+
+@register(
+    "p02_role_and_mode_tags",
+    """
+    WITH base AS (
+      SELECT p_partkey,
+             CASE p_size % 5 WHEN 0 THEN 'stop' WHEN 1 THEN 'platform_exit_only'
+               WHEN 2 THEN 'forward_entry_only' WHEN 3 THEN 'backward'
+               ELSE 'platform' END AS role,
+             CASE p_size % 4 WHEN 1 THEN 'stop_position' WHEN 2 THEN 'platform'
+               WHEN 3 THEN 'halt' ELSE NULL END AS ref_pt,
+             CASE p_size % 3 WHEN 0 THEN 'platform' WHEN 1 THEN 'stop_position'
+               ELSE 'station' END AS pt_type,
+             CASE p_size % 8 WHEN 0 THEN 'light_rail' WHEN 1 THEN 'subway'
+               WHEN 2 THEN 'train' WHEN 3 THEN 'bus' WHEN 4 THEN 'ferry'
+               WHEN 5 THEN 'tram' WHEN 6 THEN 'yes' WHEN 7 THEN 'funicular'
+             END AS mode
+      FROM part
+    )
+    SELECT p_partkey, role, ref_pt, pt_type, mode,
+           CASE
+             WHEN ref_pt IS NULL OR ref_pt NOT IN ('stop_position', 'platform')
+               THEN role
+             WHEN right(role, 10) = '_exit_only'
+               THEN (CASE ref_pt WHEN 'stop_position' THEN 'stop' ELSE 'platform' END) || '_exit_only'
+             WHEN right(role, 11) = '_entry_only'
+               THEN (CASE ref_pt WHEN 'stop_position' THEN 'stop' ELSE 'platform' END) || '_entry_only'
+             ELSE role
+           END AS final_role,
+           CASE pt_type
+             WHEN 'platform' THEN
+               CASE WHEN mode IN ('bus', 'trolley_bus', 'share_taxi') THEN 'highway=bus_stop'
+                    WHEN mode IN ('railway', 'tram', 'subway', 'light_rail') THEN 'railway=paltform'
+                    ELSE '' END
+             WHEN 'stop_position' THEN mode || '=yes'
+             ELSE
+               CASE WHEN mode = 'bus' THEN 'amenity=bus_station'
+                    WHEN mode IN ('railway', 'tram', 'subway', 'light_rail') THEN 'railway=station'
+                    WHEN mode = 'ferry' THEN 'amenity=ferry_terminal'
+                    WHEN mode = 'funicular' THEN 'railway=station|station=funicular'
+                    ELSE '' END
+           END AS mode_tags
+    FROM base
+    """,
+)
+def p02(spark, sf_dir):
+    """F13 role rewrite (RelationMember.java:60-82) + F14 mode tags by
+    stop type (GTFSReadIn.java:566-623) over synthesized (role, ref_pt,
+    pt_type, mode) combinations; the F14 map canonicalized to a sorted
+    'k=v|k=v' string on both sides."""
+    from .functions import mappings as MP2
+
+    (part,) = load(spark, sf_dir, "part")
+    base = part.select(
+        "p_partkey",
+        F.when(F.col("p_size") % 5 == 0, "stop")
+        .when(F.col("p_size") % 5 == 1, "platform_exit_only")
+        .when(F.col("p_size") % 5 == 2, "forward_entry_only")
+        .when(F.col("p_size") % 5 == 3, "backward")
+        .otherwise("platform")
+        .alias("role"),
+        F.when(F.col("p_size") % 4 == 1, "stop_position")
+        .when(F.col("p_size") % 4 == 2, "platform")
+        .when(F.col("p_size") % 4 == 3, "halt")
+        .otherwise(F.lit(None).cast("string"))
+        .alias("ref_pt"),
+        F.when(F.col("p_size") % 3 == 0, "platform")
+        .when(F.col("p_size") % 3 == 1, "stop_position")
+        .otherwise("station")
+        .alias("pt_type"),
+        MP2.route_type_to_mode(F.col("p_size") % 8).alias("mode"),
+    )
+    mt = MP2.mode_tags_for_stop(F.col("pt_type"), F.array(F.col("mode")))
+    return base.select(
+        "p_partkey", "role", "ref_pt", "pt_type", "mode",
+        MP2.rewrite_member_role(F.col("role"), F.col("ref_pt")).alias("final_role"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.map_entries(mt)),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            ),
+            "|",
+        ).alias("mode_tags"),
+    )
+
+
+@register(
+    "q27_relation_members_diff",
+    """
+    WITH pairs AS (
+      SELECT o_orderkey AS route_id, o_orderkey AS relation_id
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    route_members AS (
+      SELECT l_orderkey AS route_id, l_partkey AS ref
+      FROM lineitem
+    ),
+    relation_members AS (
+      SELECT l_orderkey AS relation_id, l_partkey AS ref
+      FROM lineitem WHERE l_linenumber <= 4
+    )
+    SELECT p.route_id, p.relation_id,
+           CASE WHEN EXISTS (
+             SELECT 1 FROM route_members rm
+             WHERE rm.route_id = p.route_id
+               AND NOT EXISTS (
+                 SELECT 1 FROM relation_members xm
+                 WHERE xm.relation_id = p.relation_id AND xm.ref = rm.ref)
+           ) THEN 'm' ELSE 'e' END AS status
+    FROM pairs p
+    """,
+)
+def q27(spark, sf_dir):
+    """Relation change detection (CompareData.java:822-828 containsAll):
+    status 'm' when the relation misses any route member, expressed as a
+    pairing join + LEFT ANTI member diff (operators/compare.py)."""
+    from .operators.compare import relation_change_status
+
+    (orders, lineitem) = load(spark, sf_dir, "orders", "lineitem")
+    pairs = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("route_id"),
+        F.col("o_orderkey").alias("relation_id"),
+    )
+    route_members = lineitem.select(
+        F.col("l_orderkey").alias("route_id"), F.col("l_partkey").alias("ref")
+    )
+    relation_members = lineitem.filter(F.col("l_linenumber") <= 4).select(
+        F.col("l_orderkey").alias("relation_id"), F.col("l_partkey").alias("ref")
+    )
+    return relation_change_status(pairs, route_members, relation_members)

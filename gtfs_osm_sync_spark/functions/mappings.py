@@ -116,3 +116,76 @@ def duration_hhmm(start_s: Column, end_s: Column) -> Column:
     return F.format_string(
         "%02d:%02d", (dur / 3600).cast("int"), ((dur % 3600) / 60).cast("int")
     )
+
+
+def rewrite_member_role(role: Column, ref_pt: Column) -> Column:
+    """F13: rewrite a relation member's role from the REFERENCED element's
+    public_transport value (object/RelationMember.java:60-82
+    getRoleForFinalOutput). Faithful to the reference's quirk: only roles
+    ending in _exit_only / _entry_only are rewritten; a bare role is kept
+    even when the referenced type suggests another base."""
+    base = F.when(ref_pt == "stop_position", F.lit("stop")).when(
+        ref_pt == "platform", F.lit("platform")
+    )
+    applicable = ref_pt.isin("stop_position", "platform")
+    return (
+        F.when(~applicable | ref_pt.isNull(), role)
+        .when(role.endswith("_exit_only"), F.concat(base, F.lit("_exit_only")))
+        .when(role.endswith("_entry_only"), F.concat(base, F.lit("_entry_only")))
+        .otherwise(role)
+    )
+
+
+_F14_BUS = ("bus", "trolley_bus", "share_taxi")
+_F14_RAIL = ("railway", "tram", "subway", "light_rail")
+
+
+def _empty_map() -> Column:
+    # built lazily: Column construction needs an active SparkSession
+    return F.map_from_arrays(
+        F.array().cast("array<string>"), F.array().cast("array<string>")
+    )
+
+
+def mode_tags_for_stop(pt_type: Column, modes: Column) -> Column:
+    """F14: OSM mode tags by stop type x served route modes
+    (io/GTFSReadIn.java:566-623 getModeTagsByBusStop) as a map column.
+
+    - platform: bus-ish -> highway=bus_stop; rail-ish -> railway=paltform
+      ('paltform' [sic] is the reference's literal output — reproduced
+      for parity, GTFSReadIn.java:585);
+    - stop_position: <mode>=yes per distinct served mode;
+    - station: bus -> amenity=bus_station, rail-ish -> railway=station,
+      ferry -> amenity=ferry_terminal.
+    `modes` is the array of OSM route-mode values serving the stop (A3
+    grouping output); funicular/aerialway station extras follow the same
+    when-branch pattern via the 'funicular'/'aerialway' mode values.
+    """
+    has = lambda *vals: F.arrays_overlap(  # noqa: E731
+        modes, F.array(*[F.lit(v) for v in vals])
+    )
+
+    def _m(*kv: str) -> Column:
+        return F.create_map(*[F.lit(x) for x in kv])
+
+    platform_map = F.map_concat(
+        F.when(has(*_F14_BUS), _m("highway", "bus_stop")).otherwise(_empty_map()),
+        F.when(has(*_F14_RAIL), _m("railway", "paltform")).otherwise(_empty_map()),
+    )
+    clean = F.array_distinct(F.filter(modes, lambda m: m.isNotNull()))
+    stoppos_map = F.map_from_arrays(clean, F.transform(clean, lambda m: F.lit("yes")))
+    station_map = F.map_concat(
+        F.when(has("bus"), _m("amenity", "bus_station")).otherwise(_empty_map()),
+        F.when(has(*_F14_RAIL), _m("railway", "station")).otherwise(_empty_map()),
+        F.when(has("ferry"), _m("amenity", "ferry_terminal")).otherwise(_empty_map()),
+        F.when(
+            has("funicular"), _m("railway", "station", "station", "funicular")
+        ).otherwise(_empty_map()),
+        F.when(has("aerialway"), _m("aerialway", "station")).otherwise(_empty_map()),
+    )
+    return (
+        F.when(pt_type == "platform", platform_map)
+        .when(pt_type == "stop_position", stoppos_map)
+        .when(pt_type == "station", station_map)
+        .otherwise(_empty_map())
+    )

@@ -294,3 +294,59 @@ def export_gtfs_value_with_osm_tags(
             cols.append(F.element_at(F.col("g_tags"), F.lit(f"gtfs_{f_}")).alias(f_))
     cols.append(osm_tags_str.alias("OSM_TAGs"))
     return compared.select(*cols)
+
+
+def member_gtfs_ids(
+    members: DataFrame, compared: DataFrame, nodes: DataFrame
+) -> DataFrame:
+    """J8: resolve each relation member's gtfs_id — first from the
+    compare output's osm_id -> gtfs_id map (osmIdToGtfsId,
+    CompareData.java:774-776), else from the referenced node's own
+    gtfs_id tag (CompareData.java:777-785). Two left equi-joins on ref.
+    """
+    matched = compared.filter(F.col("osm_id").isNotNull()).select(
+        F.col("osm_id").alias("ref"), F.col("gtfs_id").alias("_matched_gid")
+    )
+    node_ids = nodes.select(
+        F.col("osm_id").alias("ref"),
+        F.col("tags").getItem("gtfs_id").alias("_node_gid"),
+    )
+    return (
+        members.join(matched, "ref", "left")
+        .join(node_ids, "ref", "left")
+        .withColumn("member_gtfs_id", F.coalesce("_matched_gid", "_node_gid"))
+        .drop("_matched_gid", "_node_gid")
+    )
+
+
+def relation_change_status(
+    pairs: DataFrame,
+    route_members: DataFrame,
+    relation_members: DataFrame,
+    route_col: str = "route_id",
+    rel_col: str = "relation_id",
+    ref_col: str = "ref",
+) -> DataFrame:
+    """Relation change detection (CompareData.java:822-828): a matched
+    (gtfs route, osm relation) pair is modified ('m') when the OSM
+    relation does NOT contain every member of the gtfs route
+    (!em.containsAll(r.getOsmMembers())), else unchanged ('e'). The tag
+    side of that check is compareOsmTags (q18's operator) composed by the
+    caller.
+
+    pairs: (route_col, rel_col); route_members: (route_col, ref_col);
+    relation_members: (rel_col, ref_col). Plan: join route members
+    through the pairing, LEFT ANTI against the relation's member set
+    (hash join on (rel, ref)), any survivor marks the pair modified.
+    Scales: every join is a key equi-join, partial-agg distinct.
+    """
+    g = pairs.join(route_members, route_col)
+    missing = (
+        g.join(relation_members, [rel_col, ref_col], "left_anti")
+        .select(route_col, rel_col)
+        .distinct()
+        .withColumn("status", F.lit("m"))
+    )
+    return pairs.join(missing, [route_col, rel_col], "left").withColumn(
+        "status", F.coalesce(F.col("status"), F.lit("e"))
+    )

@@ -66,12 +66,15 @@ def export_stop_list_csv(df: DataFrame, path: str) -> None:
     )
 
 
-def _node_xml(changeset: str) -> F.Column:
-    """One <node> element with sorted k=v tags, XML-escaped (F3)."""
-    tag_frags = F.concat_ws(
+def _tag_frags() -> F.Column:
+    """Sorted <tag k= v=/> lines, XML-escaped (F3); 'none' sentinel values
+    suppressed (OsmPrinter.java:131-135)."""
+    return F.concat_ws(
         "",
         F.transform(
-            F.array_sort(F.map_entries(F.col("tags"))),
+            F.array_sort(
+                F.filter(F.map_entries(F.col("tags")), lambda e: e["value"] != "none")
+            ),
             lambda e: F.format_string(
                 '    <tag k="%s" v="%s"/>\n',
                 xml_escape(e["key"]),
@@ -79,6 +82,10 @@ def _node_xml(changeset: str) -> F.Column:
             ),
         ),
     )
+
+
+def _node_xml(changeset: str) -> F.Column:
+    """One <node> element (OsmPrinter.writeBusStop, OsmPrinter.java:88-140)."""
     return F.format_string(
         '  <node id="%s" lat="%.7f" lon="%.7f" version="%s" changeset="%s">\n%s  </node>\n',
         F.col("elem_id").cast("string"),
@@ -86,8 +93,85 @@ def _node_xml(changeset: str) -> F.Column:
         F.col("lon"),
         F.coalesce(F.col("version").cast("string"), F.lit("1")),
         F.lit(changeset),
-        tag_frags,
+        _tag_frags(),
     )
+
+
+def _way_xml(changeset: str) -> F.Column:
+    """One <way> element: <nd ref/> lines from the `nds` array, then tags
+    (OsmPrinter.writeBusStop way branch, OsmPrinter.java:96-127:
+    geoAddress empty, nd refs emitted in stored order)."""
+    nd_frags = F.concat_ws(
+        "",
+        F.transform(
+            F.coalesce(F.col("nds"), F.array().cast("array<string>")),
+            lambda r: F.format_string('    <nd ref="%s"/>\n', r),
+        ),
+    )
+    return F.format_string(
+        '  <way id="%s" version="%s" changeset="%s">\n%s%s  </way>\n',
+        F.col("elem_id").cast("string"),
+        F.coalesce(F.col("version").cast("string"), F.lit("1")),
+        F.lit(changeset),
+        nd_frags,
+        _tag_frags(),
+    )
+
+
+def _relation_xml(changeset: str, is_create: bool) -> F.Column:
+    """One <relation> element: members in stored order, then tags
+    (OsmPrinter.writeBusRoute, OsmPrinter.java:143-179). Creates carry
+    version=<temp id> and an injected source=GO_Sync-style creator tag —
+    the reference's exact create-branch behavior (OsmPrinter.java:152-157);
+    member roles NULL -> role='' (OsmPrinter.java:160-166)."""
+    member_frags = F.concat_ws(
+        "",
+        F.transform(
+            F.coalesce(
+                F.col("members"),
+                F.array().cast("array<struct<ref:string,mtype:string,role:string>>"),
+            ),
+            lambda m: F.format_string(
+                '    <member type="%s" ref="%s" role="%s"/>\n',
+                m["mtype"],
+                m["ref"],
+                xml_escape(F.coalesce(m["role"], F.lit(""))),
+            ),
+        ),
+    )
+    creator = (
+        '    <tag k="source" v="gtfs_osm_sync_spark"/>\n' if is_create else ""
+    )
+    version = (
+        F.col("elem_id").cast("string")
+        if is_create
+        else F.coalesce(F.col("version").cast("string"), F.lit("1"))
+    )
+    return F.format_string(
+        '  <relation id="%s" version="%s" changeset="%s">\n%s%s%s  </relation>\n',
+        F.col("elem_id").cast("string"),
+        version,
+        F.lit(changeset),
+        F.lit(creator),
+        member_frags,
+        _tag_frags(),
+    )
+
+
+def _element_xml(df: DataFrame, changeset: str, is_create: bool) -> F.Column:
+    """Dispatch on primitive_type (node default — the reference's Stop
+    carries its OsmPrimitiveType the same way, Stop.java:40-43)."""
+    ptype = (
+        F.col("primitive_type")
+        if "primitive_type" in df.columns
+        else F.lit("node")
+    )
+    out = F.when(F.lit(False), F.lit(""))
+    if "nds" in df.columns:
+        out = out.when(ptype == "way", _way_xml(changeset))
+    if "members" in df.columns:
+        out = out.when(ptype == "relation", _relation_xml(changeset, is_create))
+    return out.otherwise(_node_xml(changeset))
 
 
 def osm_change_xml(
@@ -98,9 +182,11 @@ def osm_change_xml(
 ) -> str:
     """K4: assemble an osmChange document (OsmPrinter.java:41-179).
 
-    Inputs need (lat, lon, tags[, version][, osm_id]). Creates get
-    negative temp ids -1..-n via -row_number() (HttpRequest.java:377-379);
-    modify/delete use their osm_id. Element XML is built executor-side;
+    Inputs need (lat, lon, tags[, version][, osm_id][, primitive_type]
+    [, nds][, members]). Creates get negative temp ids -1..-n via
+    -row_number() (HttpRequest.java:377-379); modify/delete use their
+    osm_id. Ways emit <nd> refs in stored order; relations emit members
+    (role rewrite upstream) then tags. Element XML is built executor-side;
     only the section concat happens on the driver (bounded by report
     size, same as the reference's in-memory StringBuilder).
     """
@@ -113,7 +199,9 @@ def osm_change_xml(
             df = df.withColumn("elem_id", -F.row_number().over(w))
         else:
             df = df.withColumn("elem_id", F.col("osm_id"))
-        frags = df.select(_node_xml(changeset).alias("xml")).collect()
+        frags = df.select(
+            _element_xml(df, changeset, name == "create").alias("xml")
+        ).collect()
         body = "".join(r["xml"] for r in frags)
         sections.append(f" <{name}>\n{body} </{name}>\n")
     inner = "".join(sections)
