@@ -1875,3 +1875,36 @@ def q27(spark, sf_dir):
         F.col("l_orderkey").alias("relation_id"), F.col("l_partkey").alias("ref")
     )
     return relation_change_status(pairs, route_members, relation_members)
+
+
+@register(
+    "q28_grid_occupancy",
+    f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             {synth_lat_sql('c_custkey')} AS lat,
+             {synth_lon_sql('c_custkey')} AS lon
+      FROM customer
+    ),
+    cells AS (
+      SELECT {grid_cell_sql('lat', 'lon', 0.5)} AS cell,
+             CAST(count(*) AS BIGINT) AS n_pts
+      FROM pts GROUP BY 1
+    )
+    SELECT n_pts, CAST(count(*) AS BIGINT) AS n_cells
+    FROM cells GROUP BY n_pts
+    """,
+)
+def q28(spark, sf_dir):
+    """Grid-cell occupancy histogram (the partition-key distribution the
+    salting decisions read — g03's engine behavior moved into the
+    hash-checked tier via the SQL-expressible grid)."""
+    (customer,) = load(spark, sf_dir, "customer")
+    pts = with_synth_coords(customer.select("c_custkey"), "c_custkey")
+    return (
+        pts.withColumn("cell", grid_cell_col(F.col("lat"), F.col("lon"), 0.5))
+        .groupBy("cell")
+        .agg(F.count("*").cast("long").alias("n_pts"))
+        .groupBy("n_pts")
+        .agg(F.count("*").cast("long").alias("n_cells"))
+    )

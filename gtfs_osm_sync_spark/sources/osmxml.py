@@ -237,3 +237,18 @@ def resolve_members(
         .withColumn("ref_public_transport", F.coalesce("n_pt", "w_pt"))
         .drop("n_lat", "n_lon", "n_pt", "w_lat", "w_lon", "w_pt")
     )
+
+
+def api_version_supported(capabilities_xml: str, api_version: str = "0.6") -> bool:
+    """F18: OSM API capabilities version gate
+    (tools/parser/OsmVersionParser.java:29-49): the server's
+    <version minimum= maximum=> range must contain our API version.
+    Driver-side scalar — it gates a session, not data."""
+    import io
+
+    for _, elem in ET.iterparse(io.StringIO(capabilities_xml), events=("end",)):
+        if elem.tag == "version" and elem.get("minimum") is not None:
+            lo = float(elem.get("minimum"))
+            hi = float(elem.get("maximum"))
+            return lo <= float(api_version) <= hi
+    return False

@@ -1,0 +1,88 @@
+"""Scale guards for dedup/ANN operators (round-2 VERDICT items 4/5):
+jaccard_pairs hot-shingle df_cap and make_centroids plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gtfs_osm_sync_spark.operators import dedup as D
+from gtfs_osm_sync_spark.operators.similarity import ivf_assign, make_centroids
+
+
+def _docs(spark):
+    # 3 near-dup pairs + every doc shares one HOT shingle ("zz zz zz ...")
+    rows = []
+    for i in range(40):
+        body = f"alpha{i} beta{i} gamma{i} delta{i} eps{i}"
+        rows.append((i, f"zz zz zz zz {body}"))
+    # exact-ish near dups (differ by the last word only)
+    rows.append((100, "zz zz zz zz alpha1 beta1 gamma1 delta1 eps1 tail"))
+    rows.append((101, "zz zz zz zz alpha2 beta2 gamma2 delta2 eps2 tail"))
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_jaccard_hot_shingle_df_cap(spark):
+    """A planted hot shingle ('zz zz zz' in every doc) must not force the
+    all-docs pair explosion: with df_cap the hot shingle drops BEFORE the
+    self-join, the dropped-shingle metric surfaces it, and genuinely
+    similar pairs still score high on the reduced shingle universe."""
+    docs = _docs(spark)
+
+    metrics: dict = {}
+    capped = D.jaccard_pairs(
+        docs, None, shingle_n=3, threshold=0.5, df_cap=10, metrics=metrics
+    ).collect()
+    dropped = {r["shingle"]: r["doc_freq"] for r in metrics["dropped_shingles"].collect()}
+    assert any("zz" in s for s in dropped), "hot shingle not surfaced"
+    assert all(f > 10 for f in dropped.values())
+    got_pairs = {(r["id_a"], r["id_b"]) for r in capped}
+    assert (1, 100) in got_pairs and (2, 101) in got_pairs
+    # the hot shingle alone must NOT create pairs between unrelated docs
+    assert (3, 4) not in got_pairs
+
+    # without the cap the hot shingle co-buckets every doc pair in the
+    # self-join (inflated intermediate), though threshold filters most out
+    uncapped = D.jaccard_pairs(docs, None, shingle_n=3, threshold=0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in uncapped} >= {(1, 100), (2, 101)}
+
+
+def test_jaccard_candidate_semi_join_prefilter(spark):
+    """With a candidate pair list, docs outside it must not enter the
+    shingle self-join — results are identical to post-filtering."""
+    docs = _docs(spark)
+    cand = spark.createDataFrame([(1, 100), (2, 101)], "id_a int, id_b int")
+    got = D.jaccard_pairs(docs, cand, shingle_n=3, threshold=0.1).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(1, 100), (2, 101)}
+    # exactness: jaccard values match the candidate-free run's values
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.jaccard_pairs(docs, None, shingle_n=3, threshold=0.1).collect()
+    }
+    for r in got:
+        assert r["jaccard"] == full[(r["id_a"], r["id_b"])]
+
+
+def test_make_centroids_plan_no_global_sort(spark):
+    """The centroid seed must plan as TakeOrderedAndProject (per-partition
+    top-k heap), NOT a global Sort/window over the corpus, and must not
+    trigger any extra count() action."""
+    corpus = spark.range(0, 5000).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[((F.col("id") % (i + 7)) + 1).cast("double") for i in range(8)]
+        ).alias("embedding"),
+    )
+    cents = make_centroids(corpus, n_lists=8)
+    plan = cents._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    rows = cents.collect()
+    assert len(rows) == 8
+    assert sorted(r["list_id"] for r in rows) == list(range(8))
+    # deterministic across runs
+    again = make_centroids(corpus, n_lists=8).collect()
+    assert {r["list_id"]: r["embedding"] for r in rows} == {
+        r["list_id"]: r["embedding"] for r in again
+    }
+    # and usable by ivf_assign end-to-end
+    assigned = ivf_assign(corpus, cents)
+    assert assigned.select("list_id").distinct().count() <= 8

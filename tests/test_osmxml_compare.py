@@ -202,3 +202,13 @@ def test_hart_golden_export_parity(hart_export):
     # (node tags in the 2010 export that exist on no committed node).
     # Pinned so any SEMANTICS change trips this assert.
     assert exact == 3626, f"exact={exact}, first mismatches: {mismatched[:5]}"
+
+
+def test_api_version_supported():
+    """F18 (OsmVersionParser.java:29-49)."""
+    caps = "<osm><api><version minimum='0.6' maximum='0.6'/></api></osm>"
+    assert osmxml.api_version_supported(caps, "0.6") is True
+    assert osmxml.api_version_supported(caps, "0.5") is False
+    caps2 = "<osm><api><version minimum='0.3' maximum='0.7'/></api></osm>"
+    assert osmxml.api_version_supported(caps2, "0.6") is True
+    assert osmxml.api_version_supported("<osm/>", "0.6") is False
