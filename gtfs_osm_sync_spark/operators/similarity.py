@@ -295,3 +295,89 @@ def lsh_topk_multiprobe(
         .filter(F.col("rank_k") <= k)
         .select("q_id", "n_id", "rank_k", "sim")
     )
+
+
+def _best_list_expr(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
+    """Map-only argmax over a LITERAL centroid array: a fold keeping the
+    (best_sim, best_list) struct. No join, no shuffle — the centroid set
+    is tiny and baked into the plan, so assignment is embarrassingly
+    parallel at any corpus size."""
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(lid)).alias("list_id"),
+                F.array(*[F.lit(float(x)) for x in cv]).alias("c_vec"),
+            )
+            for lid, cv in cents
+        ]
+    )
+    return F.aggregate(
+        arr,
+        F.struct(F.lit(-2.0).alias("sim"), F.lit(-1).alias("list_id")),
+        lambda acc, c: F.when(
+            cosine(vec, c["c_vec"]) > acc["sim"],
+            F.struct(cosine(vec, c["c_vec"]).alias("sim"), c["list_id"].alias("list_id")),
+        ).otherwise(acc),
+    )["list_id"]
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_lists: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Deterministic Lloyd-iteration k-means for the IVF index build
+    (tightens inverted lists vs the hash-seeded make_centroids; recall
+    measured in tests, never assumed).
+
+    Scale shape per iteration: ONE map-only assignment pass (literal
+    centroid fold, no join) + ONE partial-aggregating shuffle
+    (groupBy(list_id, dim_pos).avg over posexploded components, keyed on
+    n_lists*dim tiny key space) + a driver collect of n_lists*dim
+    doubles. Component means are rounded to `round_dp` before being baked
+    into the next plan, pinning run-to-run determinism against float
+    summation order. Empty lists keep their previous centroid."""
+    seeds = make_centroids(corpus, n_lists, id_col, vec_col).collect()
+    cents: dict[int, list[float]] = {
+        int(r["list_id"]): [float(x) for x in r[vec_col]] for r in seeds
+    }
+    for _ in range(iters):
+        assigned = corpus.withColumn(
+            "list_id", _best_list_expr(F.col(vec_col), sorted(cents.items()))
+        )
+        means = (
+            assigned.select("list_id", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("list_id", "pos")
+            .agg(F.round(F.avg("x"), round_dp).alias("m"))
+            .collect()
+        )
+        new_cents: dict[int, dict[int, float]] = {}
+        for r in means:
+            new_cents.setdefault(int(r["list_id"]), {})[int(r["pos"])] = float(r["m"])
+        for lid, comp in new_cents.items():
+            cents[lid] = [comp[i] for i in range(len(comp))]
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(lid, vec) for lid, vec in sorted(cents.items())],
+        f"list_id int, {vec_col} array<double>",
+    )
+
+
+def ivf_assign_literal(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ivf_assign without the crossJoin+window: centroids collected (tiny)
+    and folded as literals — a pure map stage, the index-build formulation
+    for 10^12-row corpora (ivf_assign's window shuffles corpus x n_lists
+    rows; this shuffles nothing)."""
+    cents = [
+        (int(r["list_id"]), [float(x) for x in r[vec_col]])
+        for r in centroids.collect()
+    ]
+    return df.withColumn("list_id", _best_list_expr(F.col(vec_col), sorted(cents)))

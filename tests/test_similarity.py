@@ -60,3 +60,31 @@ def test_multiprobe_beats_single_bucket(spark, emb):
     r0, r1, r2 = (_recall(exact, x) for x in (single, multi1, multi2))
     assert r0 <= r1 + 1e-9 <= r2 + 2e-9
     assert r2 > r0  # probing strictly helps on this data
+
+
+def test_kmeans_ivf_training(spark, emb):
+    """Lloyd-trained centroids: deterministic across runs, assignments
+    from the literal-fold map stage match ivf_assign's join+window
+    formulation, and trained-list recall at nprobe=2 is at least the
+    hash-seeded baseline's (k-means tightens lists; measured, not
+    assumed)."""
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    exact = SIM.brute_force_topk(q, emb, k=5)
+
+    seeds = SIM.make_centroids(emb, n_lists=8)
+    trained = SIM.kmeans_centroids(emb, n_lists=8, iters=3)
+    trained2 = SIM.kmeans_centroids(emb, n_lists=8, iters=3)
+    assert sorted(map(tuple, trained.collect())) == sorted(map(tuple, trained2.collect()))
+
+    a_lit = SIM.ivf_assign_literal(emb, trained).select("vec_id", "list_id")
+    a_win = SIM.ivf_assign(emb, trained).select("vec_id", "list_id")
+    assert a_lit.exceptAll(a_win).count() == 0 and a_win.exceptAll(a_lit).count() == 0
+    # the literal fold is a pure map stage: no Exchange in its plan
+    assert "Exchange" not in a_lit._jdf.queryExecution().executedPlan().toString()
+
+    base_assigned = SIM.ivf_assign(emb, seeds).persist()
+    trained_assigned = a_win.join(emb, "vec_id").persist()
+    r_base = _recall(exact, SIM.ivf_topk(q, base_assigned, seeds, k=5, nprobe=2))
+    r_trained = _recall(exact, SIM.ivf_topk(q, trained_assigned, trained, k=5, nprobe=2))
+    base_assigned.unpersist(); trained_assigned.unpersist()
+    assert r_trained + 1e-9 >= r_base

@@ -1,0 +1,129 @@
+"""Watermarked event-time windows: correctness vs batch + the late-data
+drop contract across a checkpointed restart (SURVEY §2.9)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gtfs_osm_sync_spark.streaming.windows import (
+    run_windowed_counts_once,
+    windowed_event_counts,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def _t(hh, mm):
+    return dt.datetime(2026, 1, 1, hh, mm)
+
+
+def test_windowed_counts_match_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    rows = [(i, _t(10, i % 25)) for i in range(50)]
+    _write_events(spark, src, rows)
+    collected: list = []
+    run_windowed_counts_once(
+        spark, src, SCHEMA, str(tmp_path / "ckpt"), collected
+    )
+    got = sorted(r for _, batch in collected for r in batch)
+    batch_df = spark.read.parquet(src)
+    want = sorted(
+        map(tuple, windowed_event_counts(batch_df).collect())
+    )
+    assert got == want and len(want) == 3  # 10:00/10:10/10:20 windows
+
+
+def test_late_event_dropped_after_restart(spark, tmp_path):
+    """Run 1 advances the watermark to 10:50 (max event 11:00 - 10 min);
+    run 2 resumes from the checkpoint with one LATE event (10:20 — its
+    window is closed) and one fresh event (11:30). The late event must
+    produce NO update; the fresh one must."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    _write_events(
+        spark, src, [(1, _t(10, 0)), (2, _t(10, 3)), (3, _t(11, 0))]
+    )
+    run1: list = []
+    run_windowed_counts_once(spark, src, SCHEMA, ckpt, run1)
+    windows1 = {r[0] for _, batch in run1 for r in batch}
+    assert _t(10, 0) in windows1 and _t(11, 0) in windows1
+
+    _write_events(spark, src, [(4, _t(10, 20)), (5, _t(11, 30))])
+    run2: list = []
+    run_windowed_counts_once(spark, src, SCHEMA, ckpt, run2)
+    updated = {r[0] for _, batch in run2 for r in batch}
+    assert _t(11, 30) in updated, "fresh event must update its window"
+    assert _t(10, 20) not in updated, "late event (behind watermark) must be dropped"
+
+
+def test_sessionize_stream_matches_batch_sessions(spark, tmp_path):
+    """Gap sessionization: streaming session_window (availableNow drain)
+    equals the batch computation of the same sessions."""
+    from gtfs_osm_sync_spark.streaming.windows import sessionize_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    rows = []
+    for u in range(3):
+        # two sessions per user: a burst at 10:00-10:10, another at 12:00
+        rows += [(u, _t(10, m)) for m in (0, 5, 10)]
+        rows += [(u, _t(12, 0))]
+    src = str(tmp_path / "sess_src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = sessionize_stream(stream, gap="30 minutes")
+    out: list = []
+
+    def sink(bdf, bid):
+        out.append(sorted(map(tuple, bdf.collect())))
+
+    def drain():
+        q = (
+            sessionize_stream(
+                spark.readStream.schema(schema).parquet(src), gap="30 minutes"
+            )
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # append mode emits a session only once the watermark passes its end;
+    # the watermark lags one batch, so drive two drains: the first
+    # finalizes the 10:00 sessions (watermark 12:00-1h=11:00), the second
+    # gets a 15:00 "closer" event that finalizes the 12:00 sessions.
+    drain()
+    spark.createDataFrame([(99, _t(15, 0))], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+    got = sorted(r for batch in out for r in batch)
+    batch_want = sorted(
+        map(tuple, sessionize_stream(spark.read.parquet(src)).collect())
+    )
+    # everything except the still-open 15:00 closer session must be out
+    finalized = [w for w in batch_want if w[0] != 99]
+    assert got == finalized
+    # 2 sessions x 3 users; burst session spans 10:00 -> 10:10+gap
+    assert len(finalized) == 6
+    burst = [w for w in finalized if w[1] == _t(10, 0)][0]
+    assert burst[3] == 3 and burst[2] == _t(10, 40)
