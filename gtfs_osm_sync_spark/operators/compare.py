@@ -130,8 +130,11 @@ def compare_stops(
     )
 
     # ---- id matches: hash equi-join on the padded id, exact Vincenty gate
+    # the stop side is the SMALL side at any scale (a transit feed is
+    # 10^3-10^6 stops; the node layer is unbounded): broadcast it so the
+    # id match is a map-side hash join over the node scan, never an SMJ
     idm = (
-        g.join(n, g["gtfs_id"] == n["osm_gtfs_id"])
+        F.broadcast(g).join(n, g["gtfs_id"] == n["osm_gtfs_id"])
         .withColumn(
             "dist_m", vincenty_m_udf(F.col("o_lat"), F.col("o_lon"), F.col("lat"), F.col("lon"))
         )
@@ -175,12 +178,12 @@ def compare_stops(
         "final_lon", F.when(F.col("category") == "MODIFY", F.col("o_lon")).otherwise(F.col("lon"))
     )
 
-    matched_ids = best.select("gtfs_id")
+    matched_ids = F.broadcast(best.select("gtfs_id"))
 
     # ---- conflict probe for the UNMATCHED stops: cell-prejoin radius join
     unmatched = g.join(matched_ids, "gtfs_id", "left_anti")
     foreign = n.join(
-        g.select(F.col("gtfs_id").alias("osm_gtfs_id")).distinct(),
+        F.broadcast(g.select(F.col("gtfs_id").alias("osm_gtfs_id")).distinct()),
         "osm_gtfs_id",
         "left_anti",
     )
@@ -201,7 +204,7 @@ def compare_stops(
         )
         .filter((F.col("dist_m") > ERROR_TO_ZERO_M) & (F.col("dist_m") < radius_m))
     )
-    conflict_ids = cand.select("gtfs_id").distinct()
+    conflict_ids = F.broadcast(cand.select("gtfs_id").distinct())
 
     conflicts = (
         unmatched.join(conflict_ids, "gtfs_id", "left_semi")

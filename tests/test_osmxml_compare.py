@@ -212,3 +212,15 @@ def test_api_version_supported():
     caps2 = "<osm><api><version minimum='0.3' maximum='0.7'/></api></osm>"
     assert osmxml.api_version_supported(caps2, "0.6") is True
     assert osmxml.api_version_supported("<osm/>", "0.6") is False
+
+
+def test_compare_plan_all_hash_joins(hart_export):
+    """The compare pipeline must plan broadcast hash joins only — no
+    SortMergeJoin (stop side is small at any scale), no
+    BroadcastNestedLoopJoin, no CartesianProduct."""
+    cmp, _ = hart_export
+    plan = cmp._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
