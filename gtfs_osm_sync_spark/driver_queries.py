@@ -1908,3 +1908,39 @@ def q28(spark, sf_dir):
         .groupBy("n_pts")
         .agg(F.count("*").cast("long").alias("n_cells"))
     )
+
+
+@register(
+    "d10_ngram_jaccard_capped",
+    f"""
+    WITH {_DOCS_AUG_SQL},
+    sh AS (
+      SELECT doc_id, unnest({_SHINGLE_SQL}) AS shingle
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM docs_aug)
+    ),
+    shd0 AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    shd AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+        FROM shd0
+      ) WHERE df <= 8
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           round(i.n_inter / (ca.n_sh + cb.n_sh - i.n_inter), 6) AS jaccard
+    FROM inter i JOIN cnt ca ON i.id_a = ca.doc_id JOIN cnt cb ON i.id_b = cb.doc_id
+    WHERE i.n_inter / (ca.n_sh + cb.n_sh - i.n_inter) >= 0.5
+    """,
+)
+def d10(spark, sf_dir):
+    """Document-frequency-capped exact Jaccard (the 100 TB formulation:
+    shingles shared by more than df_cap docs drop BEFORE the self-join,
+    bounding the quadratic pair blow-up) — semantics mirrored exactly in
+    the DuckDB oracle so the cap itself is hash-checked."""
+    docs = _docs_aug(spark, sf_dir)
+    return DD.jaccard_pairs(docs, None, threshold=0.5, df_cap=8)

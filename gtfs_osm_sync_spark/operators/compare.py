@@ -353,3 +353,53 @@ def relation_change_status(
     return pairs.join(missing, [route_col, rel_col], "left").withColumn(
         "status", F.coalesce(F.col("status"), F.lit("e"))
     )
+
+
+def export_osm_value_with_osm_tags(
+    compared: DataFrame,
+    gtfs_fields: list[str],
+    network_key: str = "operator",
+    conflicts_only: bool = False,
+) -> DataFrame:
+    """K1 'OSM value' exports (gui/ReportViewer.java:3230-3243 +
+    io/WriteFile.java:214-296): the CSV name/lat/lon columns carry the
+    FINAL default values (MODIFY stops take the matched node's location
+    and name; others keep gtfs), tags from merged_tags minus the same
+    consumed/suppressed keys. conflicts_only keeps stops whose default
+    changed (osmDefaultOnlyChangedFinalStops, ReportViewer.java:419-439:
+    MODIFY category)."""
+    consumed = [f"gtfs_{f}" for f in gtfs_fields] + ["url", "transport:zone"]
+    drop = set(_EXPORT_DROP) | {network_key} | set(consumed)
+    src = compared
+    if conflicts_only:
+        src = src.filter(F.col("category") == "MODIFY")
+    kept = F.map_filter(
+        F.col("merged_tags"),
+        lambda k, v: ~k.isin(*sorted(drop)) & (k != "none") & (k != ""),
+    )
+    osm_tags_str = F.array_join(
+        F.transform(
+            F.array_sort(F.map_entries(kept)),
+            lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+        ),
+        "|",
+    )
+    cols = [F.col("gtfs_id").alias("stop_id")]
+    for f_ in gtfs_fields:
+        if f_ == "stop_id":
+            continue
+        elif f_ == "stop_name":
+            cols.append(
+                F.coalesce(
+                    F.element_at(F.col("merged_tags"), F.lit("name")),
+                    F.col("name_raw"),
+                ).alias("stop_name")
+            )
+        elif f_ == "stop_lat":
+            cols.append(F.col("final_lat").cast("string").alias("stop_lat"))
+        elif f_ == "stop_lon":
+            cols.append(F.col("final_lon").cast("string").alias("stop_lon"))
+        else:
+            cols.append(F.element_at(F.col("g_tags"), F.lit(f"gtfs_{f_}")).alias(f_))
+    cols.append(osm_tags_str.alias("OSM_TAGs"))
+    return src.select(*cols)

@@ -224,3 +224,24 @@ def test_compare_plan_all_hash_joins(hart_export):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_export_osm_value_variants(hart_export):
+    """K1 OSM-value exports: MODIFY rows carry the matched node's
+    location/name; conflicts_only = exactly the MODIFY set."""
+    cmp, _ = hart_export
+    fields = ["stop_id", "stop_code", "stop_name", "stop_lat", "stop_lon"]
+    full = C.export_osm_value_with_osm_tags(cmp, fields)
+    confl = C.export_osm_value_with_osm_tags(cmp, fields, conflicts_only=True)
+    assert full.count() == 3802
+    assert confl.count() == 184  # pinned MODIFY count
+
+    # a MODIFY stop's exported lat/lon must be its matched node's
+    mod = cmp.filter(F.col("category") == "MODIFY").select(
+        "gtfs_id", "final_lat", "final_lon", "lat"
+    ).limit(5).collect()
+    exported = {r["stop_id"]: r for r in confl.collect()}
+    for r in mod:
+        e = exported[r["gtfs_id"]]
+        assert float(e["stop_lat"]) == r["final_lat"]
+        assert float(e["stop_lon"]) == r["final_lon"]
