@@ -193,8 +193,11 @@ def compare_stops(
         "hex_cell", F.explode(ring(F.col("_c"), F.col("lat")))
     )
     fn = foreign.withColumn("hex_cell", hexc("o_lat", "o_lon"))
+    # broadcast the STOP side: unmatched stops x ring cells is bounded
+    # (a transit feed), the foreign-node layer is not — it streams through
+    # the hash join like the id-match scan
     cand = (
-        u.join(F.broadcast(fn), "hex_cell")
+        fn.join(F.broadcast(u), "hex_cell")
         .withColumn(
             "_pre", haversine_m_col(F.col("lat"), F.col("lon"), F.col("o_lat"), F.col("o_lon"))
         )
