@@ -109,6 +109,22 @@ def compare_stops(
     """
     g = gtfs_tag_map(gtfs, network_key)
 
+    padded_gid = F.when(
+        F.col("tags").getItem("gtfs_id").isNotNull()
+        & (F.col("tags").getItem("gtfs_id") != "missing"),
+        zero_pad_id(F.col("tags").getItem("gtfs_id"), id_digits),
+    )
+    # the reference pads gtfs_id IN PLACE inside the node's tag map before
+    # any tag comparison (osmtag.put, CompareData.java:1031-1036) — an
+    # unpadded node id must not register as a tag diff
+    tags_padded = F.map_filter(
+        F.map_zip_with(
+            F.col("tags"),
+            F.create_map(F.lit("gtfs_id"), padded_gid),
+            lambda k, v, p: F.coalesce(p, v),
+        ),
+        lambda k, v: v.isNotNull(),
+    )
     n = nodes.filter(
         operator_gate(F.col("tags").getItem(network_key), agency_names)
     ).select(
@@ -118,12 +134,8 @@ def compare_stops(
         F.col("timestamp").alias("osm_timestamp"),
         F.col("lat").alias("o_lat"),
         F.col("lon").alias("o_lon"),
-        F.col("tags").alias("osm_tags"),
-        F.when(
-            F.col("tags").getItem("gtfs_id").isNotNull()
-            & (F.col("tags").getItem("gtfs_id") != "missing"),
-            zero_pad_id(F.col("tags").getItem("gtfs_id"), id_digits),
-        ).alias("osm_gtfs_id"),
+        tags_padded.alias("osm_tags"),
+        padded_gid.alias("osm_gtfs_id"),
         (F.col("file_idx").cast("long") * F.lit(1 << 40) + F.col("elem_idx")).alias(
             "doc_order"
         ),

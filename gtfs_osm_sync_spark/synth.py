@@ -445,3 +445,132 @@ def generate_polygons(spark: SparkSession) -> DataFrame:
     band = [(-170.0, -10.0), (170.0, -10.0), (170.0, 10.0), (-170.0, 10.0)]
     rows.append(("poly_band", wkb_polygon(band), -10.0, 10.0, -170.0, 170.0))
     return spark.createDataFrame(rows, POLYGONS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# compare world: stop + node tables whose compare categories are known by
+# construction (the large-scale twin of the HART fixture)
+# ---------------------------------------------------------------------------
+
+COMPARE_AGENCY = "Metro Transit"
+_CMP_DIGITS = 7
+
+
+def gen_compare_stops_pdf(ids: np.ndarray, spread_scale: float = 1.0) -> pd.DataFrame:
+    ids = ids.astype(np.uint64)
+    ph = splitmix64(ids ^ np.uint64(0xC0FFEE))
+    lat, lon = phash_latlon_np(ph.view(np.int64), spread_scale)
+    sid = [str(int(i)).zfill(_CMP_DIGITS) for i in ids]
+    return pd.DataFrame(
+        {
+            "gtfs_id": sid,
+            "lat": lat,
+            "lon": lon,
+            "lat_raw": [repr(float(x)) for x in lat],
+            "lon_raw": [repr(float(x)) for x in lon],
+            "name": [f"Stop {s}" for s in sid],
+            "name_raw": [f"Stop {s}" for s in sid],
+            "operator": COMPARE_AGENCY,
+            "gtfs_stop_code": [str(int(i)) for i in ids],
+        }
+    )
+
+
+def gen_compare_nodes_pdf(ids: np.ndarray, spread_scale: float = 1.0) -> pd.DataFrame:
+    """One node per stop id, mode = id % 5 (CompareData.java category map):
+      0 -> id node at 0.3 m, tags fully matching      => NOTHING_NEW
+      1 -> id node at 0.3 m, different name           => MODIFY (tag diff)
+      2 -> id node at 180 m, same id                  => MODIFY (moved)
+      3 -> id node at 2500 m (out of range)           => UPLOAD_NO_CONFLICT*
+      4 -> FOREIGN node (no gtfs_id) at 100 m         => UPLOAD_CONFLICT*
+    *modes 3/4 are cross-contaminated by geometry (a mode-4 foreign node
+    within 400 m of ANY unmatched stop conflicts it) — the pytest oracle
+    recomputes that with exact numpy Vincenty. Every 13th id adds an EXTRA
+    node with a foreign operator; the gate must drop them with no effect."""
+    ids = ids.astype(np.uint64)
+    stops = gen_compare_stops_pdf(ids, spread_scale)
+    mode = (ids % np.uint64(5)).astype(np.int64)
+    delta = np.choose(mode, [0.3, 0.3, 180.0, 2500.0, 100.0])
+    ang = (splitmix64(ids ^ np.uint64(0xA11CE)) % np.uint64(6283)).astype(np.float64) / 1000.0
+    lat = stops["lat"].to_numpy() + np.cos(ang) * delta * _DEG_PER_M
+    lon = stops["lon"].to_numpy() + np.sin(ang) * delta * _DEG_PER_M / np.maximum(
+        np.cos(np.radians(stops["lat"].to_numpy())), 1e-6
+    )
+    rows = []
+    for k, i in enumerate(ids):
+        i = int(i)
+        m = int(mode[k])
+        sid = str(i).zfill(_CMP_DIGITS)
+        tags = {
+            "highway": "bus_stop",
+            "operator": COMPARE_AGENCY,
+            "ntd_id": "9999",
+            "route_ref": str(i % 60),
+        }
+        if m != 4:
+            tags["gtfs_id"] = str(i)  # unpadded: exercises ingest zero-pad
+            tags["gtfs_stop_code"] = str(i)
+            tags["name"] = f"Stop {sid}" if m != 1 else f"Old name {sid}"
+        rows.append(
+            (
+                f"n{i:012d}",
+                str(1 + i % 7),
+                f"mapper{i % 17}",
+                "2026-01-01T00:00:00Z",
+                float(lat[k]),
+                float(lon[k]),
+                tags,
+                0,
+                i,
+            )
+        )
+        if i % 13 == 0:  # operator-gate chaff: must be filtered, no effect
+            rows.append(
+                (
+                    f"x{i:012d}",
+                    "1",
+                    "other",
+                    "2026-01-01T00:00:00Z",
+                    float(lat[k]) + 0.0001,
+                    float(lon[k]),
+                    {"highway": "bus_stop", "operator": "Rival Lines Co", "gtfs_id": str(i)},
+                    0,
+                    10_000_000_000 + i,
+                )
+            )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "osm_id", "version", "user", "timestamp", "lat", "lon", "tags",
+            "file_idx", "elem_idx",
+        ],
+    )
+
+
+COMPARE_STOPS_SCHEMA = (
+    "gtfs_id string, lat double, lon double, lat_raw string, lon_raw string,"
+    " name string, name_raw string, operator string, gtfs_stop_code string"
+)
+COMPARE_NODES_SCHEMA = (
+    "osm_id string, version string, user string, timestamp string,"
+    " lat double, lon double, tags map<string,string>, file_idx int, elem_idx long"
+)
+
+
+def generate_compare_world(
+    spark: SparkSession, n_stops: int, spread_scale: float = 1.0, partitions: int = 8
+):
+    """Distributed generation of the (stops, nodes) compare world."""
+
+    def gs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield gen_compare_stops_pdf(pdf["id"].to_numpy(), spread_scale)
+
+    def gn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield gen_compare_nodes_pdf(pdf["id"].to_numpy(), spread_scale)
+
+    rng = spark.range(0, n_stops, 1, partitions)
+    return rng.mapInPandas(gs, COMPARE_STOPS_SCHEMA), rng.mapInPandas(
+        gn, COMPARE_NODES_SCHEMA
+    )

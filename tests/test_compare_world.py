@@ -1,0 +1,121 @@
+"""compare_stops at synthetic scale: categories verified against an exact
+numpy Vincenty brute force (the HART fixture is 3.8k x 7k; this pins the
+same semantics on a generated world with planted modes + gate chaff)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gtfs_osm_sync_spark import synth
+from gtfs_osm_sync_spark.functions.geo import vincenty_m_np
+from gtfs_osm_sync_spark.operators import compare as C
+
+N = 2000
+
+
+@pytest.fixture(scope="module")
+def world(spark):
+    stops, nodes = synth.generate_compare_world(spark, N, partitions=4)
+    cmp = C.compare_stops(
+        stops,
+        nodes,
+        agency_names=[synth.COMPARE_AGENCY],
+        id_digits=synth._CMP_DIGITS,
+    ).cache()
+    return cmp
+
+
+def _brute_force_categories():
+    ids = np.arange(N, dtype=np.uint64)
+    stops = synth.gen_compare_stops_pdf(ids)
+    nodes = synth.gen_compare_nodes_pdf(ids)
+    # operator gate
+    keep = nodes["tags"].map(
+        lambda t: t.get("operator") in (None, "missing", synth.COMPARE_AGENCY)
+    )
+    nodes = nodes[keep].reset_index(drop=True)
+    node_gid = nodes["tags"].map(
+        lambda t: t.get("gtfs_id", "").zfill(synth._CMP_DIGITS) if "gtfs_id" in t else None
+    )
+    slat = stops["lat"].to_numpy()
+    slon = stops["lon"].to_numpy()
+    nlat = nodes["lat"].to_numpy()
+    nlon = nodes["lon"].to_numpy()
+    cats = {}
+    gid_to_idx = {g: j for j, g in stops["gtfs_id"].items()}
+    # id matches
+    for j in range(len(nodes)):
+        g = node_gid[j]
+        if g is None or g not in gid_to_idx:
+            continue
+        i = gid_to_idx[g]
+        d = float(vincenty_m_np(nlat[j], nlon[j], slat[i], slon[i]))
+        if d >= 400.0:
+            continue
+        if g in cats:
+            continue  # first in doc order wins (nodes generated in order)
+        gtags = {
+            "gtfs_id": g,
+            "operator": synth.COMPARE_AGENCY,
+            "name": stops["name_raw"][i],
+            "gtfs_stop_code": stops["gtfs_stop_code"][i],
+        }
+        ntags = nodes["tags"][j]
+        # node gtfs_id is unpadded in tags; compare pads it at ingest
+        ntags = {**ntags, "gtfs_id": g} if "gtfs_id" in ntags else ntags
+        diff_empty = all(
+            k in ntags and (ntags[k].upper() == v.upper() or v in ntags[k])
+            for k, v in gtags.items()
+        )
+        cats[g] = "NOTHING_NEW" if (d <= 0.5 and diff_empty) else "MODIFY"
+    # conflicts among the unmatched
+    gtfs_ids = set(stops["gtfs_id"])
+    foreign = [
+        j
+        for j in range(len(nodes))
+        if node_gid[j] is None or node_gid[j] not in gtfs_ids
+    ]
+    flat = nlat[foreign]
+    flon = nlon[foreign]
+    for i, g in enumerate(stops["gtfs_id"]):
+        if g in cats:
+            continue
+        if len(flat):
+            d = vincenty_m_np(flat, flon, np.full_like(flat, slat[i]), np.full_like(flon, slon[i]))
+            if bool(((d > 0.5) & (d < 400.0)).any()):
+                cats[g] = "UPLOAD_CONFLICT"
+                continue
+        cats[g] = "UPLOAD_NO_CONFLICT"
+    return cats
+
+
+def test_compare_world_matches_brute_force(world):
+    got = {r["gtfs_id"]: r["category"] for r in world.select("gtfs_id", "category").collect()}
+    want = _brute_force_categories()
+    assert len(got) == N
+    mismatches = {g: (want[g], got[g]) for g in want if got[g] != want[g]}
+    assert not mismatches, f"{len(mismatches)} category mismatches, e.g. {list(mismatches.items())[:5]}"
+    # sanity: every planted mode occurs in bulk
+    from collections import Counter
+
+    c = Counter(want.values())
+    assert c["NOTHING_NEW"] >= N // 5 - 5
+    assert c["MODIFY"] >= 2 * (N // 5) - 10
+    assert c["UPLOAD_CONFLICT"] >= N // 5 - 50
+
+
+def test_compare_world_merged_tags(world):
+    """Mode-0 stops (NOTHING_NEW) merge the node's extra keys without
+    overwriting gtfs values; mode-1 (MODIFY via name diff) takes the OSM
+    name as default."""
+    rows = {r["gtfs_id"]: r for r in world.collect()}
+    s0 = rows[str(0).zfill(synth._CMP_DIGITS)]  # mode 0
+    assert s0["category"] == "NOTHING_NEW"
+    assert s0["merged_tags"]["ntd_id"] == "9999"
+    assert s0["merged_tags"]["name"] == f"Stop {s0['gtfs_id']}"
+    s1 = rows[str(1).zfill(synth._CMP_DIGITS)]  # mode 1
+    assert s1["category"] == "MODIFY"
+    assert s1["merged_tags"]["name"] == f"Old name {s1['gtfs_id']}"
+    assert s1["merged_tags"]["gtfs_id"] == s1["gtfs_id"]  # restored, padded
