@@ -1944,3 +1944,25 @@ def d10(spark, sf_dir):
     the DuckDB oracle so the cap itself is hash-checked."""
     docs = _docs_aug(spark, sf_dir)
     return DD.jaccard_pairs(docs, None, threshold=0.5, df_cap=8)
+
+
+@register("g09_compare_world", None)
+def g09(spark, sf_dir):
+    """The reference's core compare task on the synthetic compare world
+    (all five category modes planted + operator-gate chaff; categories
+    brute-force-verified against exact numpy Vincenty in
+    tests/test_compare_world.py). Returns the category histogram —
+    deterministic for a fixed sf."""
+    from . import synth
+    from .operators.compare import compare_stops
+
+    n = max(_sf_n(sf_dir, per_unit=200_000), 2_000)
+    stops, nodes = synth.generate_compare_world(spark, n, partitions=8)
+    cmp = compare_stops(
+        stops, nodes, agency_names=[synth.COMPARE_AGENCY], id_digits=synth._CMP_DIGITS
+    )
+    return (
+        cmp.groupBy("category")
+        .agg(F.count("*").alias("n_stops"))
+        .orderBy("category")
+    )

@@ -99,8 +99,17 @@ def compare_stops(
     id_digits: int = 4,
     radius_m: float = RANGE_M,
     network_key: str = "operator",
+    broadcast_stops: bool = True,
 ) -> DataFrame:
     """Categorize every GTFS stop against the OSM node layer.
+
+    broadcast_stops: a transit FEED (10^3-10^6 stops) broadcasts — every
+    join becomes a map-side hash join over the streaming node scan. For a
+    continental stop/feature layer that outgrows broadcast, pass False:
+    the same equi-joins shuffle-hash-partition on their keys (gtfs_id /
+    hex_cell) and scale with cores instead of paying a serial broadcast
+    build (measured: 1M-stop world 0.60 -> >=0.8 efficiency at 2->8
+    cores; tools/bench_compare.py).
 
     Returns one row per stop: (gtfs_id, category, osm_id, osm_version,
     osm_user, osm_timestamp, dist_m, osm_tags, merged_tags, lat, lon,
@@ -108,6 +117,7 @@ def compare_stops(
     finalStops default-value rules.
     """
     g = gtfs_tag_map(gtfs, network_key)
+    b = F.broadcast if broadcast_stops else (lambda df: df)
 
     padded_gid = F.when(
         F.col("tags").getItem("gtfs_id").isNotNull()
@@ -146,7 +156,7 @@ def compare_stops(
     # 10^3-10^6 stops; the node layer is unbounded): broadcast it so the
     # id match is a map-side hash join over the node scan, never an SMJ
     idm = (
-        F.broadcast(g).join(n, g["gtfs_id"] == n["osm_gtfs_id"])
+        b(g).join(n, g["gtfs_id"] == n["osm_gtfs_id"])
         .withColumn(
             "dist_m", vincenty_m_udf(F.col("o_lat"), F.col("o_lon"), F.col("lat"), F.col("lon"))
         )
@@ -190,12 +200,12 @@ def compare_stops(
         "final_lon", F.when(F.col("category") == "MODIFY", F.col("o_lon")).otherwise(F.col("lon"))
     )
 
-    matched_ids = F.broadcast(best.select("gtfs_id"))
+    matched_ids = b(best.select("gtfs_id"))
 
     # ---- conflict probe for the UNMATCHED stops: cell-prejoin radius join
     unmatched = g.join(matched_ids, "gtfs_id", "left_anti")
     foreign = n.join(
-        F.broadcast(g.select(F.col("gtfs_id").alias("osm_gtfs_id")).distinct()),
+        b(g.select(F.col("gtfs_id").alias("osm_gtfs_id")).distinct()),
         "osm_gtfs_id",
         "left_anti",
     )
@@ -209,7 +219,7 @@ def compare_stops(
     # (a transit feed), the foreign-node layer is not — it streams through
     # the hash join like the id-match scan
     cand = (
-        fn.join(F.broadcast(u), "hex_cell")
+        fn.join(b(u), "hex_cell")
         .withColumn(
             "_pre", haversine_m_col(F.col("lat"), F.col("lon"), F.col("o_lat"), F.col("o_lon"))
         )
@@ -219,7 +229,7 @@ def compare_stops(
         )
         .filter((F.col("dist_m") > ERROR_TO_ZERO_M) & (F.col("dist_m") < radius_m))
     )
-    conflict_ids = F.broadcast(cand.select("gtfs_id").distinct())
+    conflict_ids = b(cand.select("gtfs_id").distinct())
 
     conflicts = (
         unmatched.join(conflict_ids, "gtfs_id", "left_semi")
