@@ -1966,3 +1966,53 @@ def g09(spark, sf_dir):
         .agg(F.count("*").alias("n_stops"))
         .orderBy("category")
     )
+
+
+@register(
+    "d11_dup_components",
+    f"""
+    WITH RECURSIVE {_DOCS_AUG_SQL},
+    sh AS (
+      SELECT doc_id, unnest({_SHINGLE_SQL}) AS shingle
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM docs_aug)
+    ),
+    shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    cnt AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    prs AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i JOIN cnt ca ON i.id_a = ca.doc_id JOIN cnt cb ON i.id_b = cb.doc_id
+      WHERE i.n_inter / (ca.n_sh + cb.n_sh - i.n_inter) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM prs
+      UNION SELECT id_b, id_a FROM prs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id,
+           CAST(least(src, min(dst)) AS BIGINT) AS component
+    FROM reach GROUP BY src
+    """,
+)
+def d11(spark, sf_dir):
+    """Near-dup CLUSTERING: connected components over the >=0.5-Jaccard
+    pair graph, min-id component labels (min-label propagation, one
+    partial-agg shuffle per round; oracle = DuckDB recursive transitive
+    closure)."""
+    from .operators.dedup import connected_components
+
+    docs = _docs_aug(spark, sf_dir)
+    pairs = DD.jaccard_pairs(docs, None, threshold=0.5).select("id_a", "id_b")
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )

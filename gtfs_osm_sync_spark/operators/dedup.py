@@ -243,3 +243,55 @@ def simhash32(
             .alias("simhash")
         )
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup CLUSTERING: connected components over the dup-pair graph,
+    labeling every member with the component's minimum doc id (the
+    canonical survivor). Returns (doc_id, component).
+
+    Algorithm: min-label propagation — each round every node takes the
+    min label among itself and its neighbors (one shuffle per round:
+    edges join labels, groupBy node, partial-agg min). Rounds needed =
+    graph diameter; dedup components are shallow (near-dup clusters are
+    cliques or short chains), so this converges in 2-4 rounds in
+    practice, with a driver-side fixpoint check per round (one count()
+    on a boolean filter — cheap, and honest about the iteration).
+    large-star/small-star halves the diameter per round for adversarially
+    long chains; max_iter bounds pathological inputs either way.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nb_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nb_label"), F.col("label"))).alias(
+                    "new_label"
+                ),
+                "label",
+            )
+        )
+        changed = new_labels.filter(F.col("new_label") != F.col("label")).limit(1).count()
+        labels = new_labels.select("node", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+        labels = labels.localCheckpoint()  # truncate the iterative lineage
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))

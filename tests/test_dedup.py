@@ -86,3 +86,42 @@ def test_make_centroids_plan_no_global_sort(spark):
     # and usable by ivf_assign end-to-end
     assigned = ivf_assign(corpus, cents)
     assert assigned.select("list_id").distinct().count() <= 8
+
+
+def test_connected_components_vs_union_find(spark):
+    """Min-label components vs a union-find oracle, including a planted
+    LONG CHAIN (diameter 12 — propagation must iterate past shallow
+    clusters) and a clique, plus isolated pair edges."""
+    edges = (
+        [(i, i + 1) for i in range(100, 112)]  # chain: component 100
+        + [(a, b) for a in range(200, 205) for b in range(a + 1, 205)]  # clique
+        + [(300, 301), (400, 401), (77, 301)]  # pair + pair; 77 bridges 300s
+    )
+    pairs = spark.createDataFrame(edges, "id_a int, id_b int")
+    got = {
+        r["doc_id"]: r["component"]
+        for r in __import__("gtfs_osm_sync_spark.operators.dedup", fromlist=["x"])
+        .connected_components(pairs)
+        .collect()
+    }
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+    assert got == want
+    assert got[111] == 100  # end of the 12-hop chain
+    assert got[301] == 77 and got[300] == 77  # bridged component
