@@ -78,6 +78,27 @@ def run_bench(sf_dir: str, cpus: int, queries: list[str] | None = None) -> dict:
     run_images()  # warm the plan (JIT/codegen)
     t_img = min(run_images(), run_images())
 
+    # the reference's core task: stop-vs-node compare (categorize + tag
+    # merge) on the synthetic compare world at an sf-scaled size
+    from gtfs_osm_sync_spark.operators.compare import compare_stops
+
+    n_stops = max(int(2_000_000 * sf), 10_000)
+    stops, nodes = synth.generate_compare_world(spark, n_stops, partitions=cpus * 2)
+    stops = stops.localCheckpoint()
+    nodes = nodes.localCheckpoint()
+
+    def run_compare() -> float:
+        t0 = time.time()
+        cmp = compare_stops(
+            stops, nodes, agency_names=[synth.COMPARE_AGENCY],
+            id_digits=synth._CMP_DIGITS, broadcast_stops=n_stops <= 100_000,
+        )
+        cmp.agg(F.sum(F.hash("gtfs_id", "category", "osm_id"))).collect()
+        return time.time() - t0
+
+    run_compare()
+    t_cmp = min(run_compare(), run_compare())
+
     return {
         "metric": "headline query wall-clock (flagship kNN spatial join first)",
         "value": total,
@@ -96,6 +117,12 @@ def run_bench(sf_dir: str, cpus: int, queries: list[str] | None = None) -> dict:
             "n_images": n_img,
             "wall_sec": round(t_img, 3),
             "images_per_sec": round(n_img / t_img, 1),
+        },
+        "compare_pipeline": {
+            "pipeline": "stop-vs-node categorize+merge (reference core task)",
+            "n_stops": n_stops,
+            "wall_sec": round(t_cmp, 3),
+            "stops_per_sec": round(n_stops / t_cmp, 1),
         },
     }
 
