@@ -114,3 +114,41 @@ def sessionize_stream(
             "n_events",
         )
     )
+
+
+def first_k_per_key(
+    stream_df: DataFrame,
+    key_col: str = "user_id",
+    k: int = 2,
+):
+    """Custom stateful operator the built-ins can't express: keep only the
+    FIRST k events per key ACROSS micro-batches (dropDuplicates keeps 1;
+    limits aren't keyed). applyInPandasWithState holds one counter per
+    key in the state store; each batch emits that key's remaining quota.
+
+    Scale: state is O(distinct keys) x one long; rows stream through
+    Arrow in per-key batches. The state store checkpoints with the query,
+    so restarts resume the quota exactly (test pins this).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = stream_df.schema
+    state_schema = T.StructType([T.StructField("n_seen", T.LongType())])
+
+    def fn(key, pdfs, state: GroupState):
+        (n_seen,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            if n_seen >= k:
+                n_seen += len(pdf)
+                continue
+            take = min(k - n_seen, len(pdf))
+            n_seen += len(pdf)
+            if take > 0:
+                yield pdf.iloc[:take]
+        state.update((n_seen,))
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -127,3 +127,50 @@ def test_sessionize_stream_matches_batch_sessions(spark, tmp_path):
     assert len(finalized) == 6
     burst = [w for w in finalized if w[1] == _t(10, 0)][0]
     assert burst[3] == 3 and burst[2] == _t(10, 40)
+
+
+def test_first_k_per_key_stateful_across_restart(spark, tmp_path):
+    """applyInPandasWithState: the per-key quota must persist in the
+    state store across a checkpointed restart — run 1 consumes part of
+    each key's quota, run 2's events only fill the remainder."""
+    from gtfs_osm_sync_spark.streaming.windows import first_k_per_key
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+        ]
+    )
+    src = str(tmp_path / "fk_src")
+    ckpt = str(tmp_path / "fk_ckpt")
+    out: list = []
+
+    def drain():
+        q = (
+            first_k_per_key(spark.readStream.schema(schema).parquet(src), k=2)
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda bdf, bid: out.append(sorted(map(tuple, bdf.collect()))))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: user 1 sends 1 event, user 2 sends 3 (quota 2 -> emits 2)
+    spark.createDataFrame(
+        [(1, 10), (2, 20), (2, 21), (2, 22)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    # run 2: user 1 sends 2 more (1 fits), user 2 sends 1 more (0 fits)
+    spark.createDataFrame([(1, 11), (1, 12), (2, 23)], schema).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    drain()
+
+    emitted = sorted(r for batch in out for r in batch)
+    by_user: dict = {}
+    for u, e in emitted:
+        by_user.setdefault(u, []).append(e)
+    assert len(by_user[1]) == 2 and by_user[1][0] == 10
+    assert len(by_user[2]) == 2 and set(by_user[2]) <= {20, 21, 22}
+    assert (2, 23) not in emitted  # quota exhausted in run 1
