@@ -466,13 +466,23 @@ def q11(spark, sf_dir):
         "id_match",
         F.when((F.col("s_suppkey") * 13) % 1500 == F.col("c_custkey") % 1500, 1).otherwise(0),
     )
-    w = W.partitionBy("c_custkey").orderBy(
-        F.desc("id_match"), F.asc("dist_m"), F.asc("s_suppkey")
+    # single partial-aggregating min(struct) replaces the row_number
+    # window: map-side combine shrinks pairs to per-customer rows before
+    # the only shuffle (same trade as the flagship assign, pipeline.py)
+    best = pairs.groupBy("c_custkey").agg(
+        F.min(
+            F.struct(
+                (1 - F.col("id_match")).alias("inv_match"),
+                F.col("dist_m").alias("dist_m"),
+                F.col("s_suppkey").alias("s_suppkey"),
+            )
+        ).alias("_b")
+    ).select(
+        "c_custkey",
+        (1 - F.col("_b.inv_match")).alias("id_match"),
+        F.col("_b.dist_m").alias("dist_m"),
     )
-    best = pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    cat = cust.join(
-        best.select("c_custkey", "id_match", "dist_m"), "c_custkey", "left"
-    ).withColumn(
+    cat = cust.join(best, "c_custkey", "left").withColumn(
         "category",
         F.when(F.col("id_match").isNull(), "UPLOAD_NO_CONFLICT")
         .when((F.col("id_match") == 1) & (F.col("dist_m") <= 500.0), "NOTHING_NEW")
