@@ -160,16 +160,21 @@ def jaccard_pairs(
       DataFrame of the capped shingles + their doc frequency) for
       surfacing drop counts in job telemetry.
     """
-    sh = df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle")
-    ).distinct()
+    src = df
     if candidates is not None:
+        # prune DOCUMENTS before the shingle explode — the explode (and
+        # the distinct's shuffle) are the expensive stages, so the
+        # candidate filter must run against the doc table, not the
+        # exploded shingle table
         cand_ids = (
             candidates.select(F.col("id_a").alias(id_col))
             .union(candidates.select(F.col("id_b").alias(id_col)))
             .distinct()
         )
-        sh = sh.join(cand_ids, id_col, "left_semi")
+        src = df.join(cand_ids, id_col, "left_semi")
+    sh = src.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle")
+    ).distinct()
     if df_cap is not None:
         sh = sh.withColumn(
             "_df", F.count("*").over(W.partitionBy("shingle"))
