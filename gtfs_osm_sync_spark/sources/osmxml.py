@@ -178,10 +178,18 @@ def standalone_features(nodes: DataFrame, ways: DataFrame) -> DataFrame:
     Plan: explode(nds) -> distinct refs -> LEFT ANTI join (the swallowed-
     node anti-join, J10's second half). The exploded ref set is one narrow
     column; the anti-join is a hash join on osm_id."""
-    way_refs = ways.select(F.explode("nds").alias("osm_id")).distinct()
+    way_refs = (
+        ways.select(F.explode("nds").alias("osm_id"))
+        .distinct()
+        .withColumn("_in_way", F.lit(True))
+    )
     keep = F.col("tags").getItem("public_transport") == "platform"
-    surviving = nodes.join(way_refs, "osm_id", "left_anti").unionByName(
-        nodes.filter(keep).join(way_refs, "osm_id", "left_semi")
+    # one LEFT join replaces an anti + semi pair (two scans, two joins):
+    # a node survives if no way references it OR it is a platform
+    surviving = (
+        nodes.join(way_refs, "osm_id", "left")
+        .filter(F.col("_in_way").isNull() | keep)
+        .drop("_in_way")
     )
     node_feats = surviving.withColumn("feature_type", F.lit("node")).withColumn(
         "nds", F.lit(None).cast(T.ArrayType(T.StringType()))
