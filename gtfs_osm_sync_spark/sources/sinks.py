@@ -66,6 +66,9 @@ def export_stop_list_csv(df: DataFrame, path: str) -> None:
     )
 
 
+MAX_CHANGE_ELEMENTS = 1_000_000  # driver-memory guard for the in-memory doc
+
+
 def _tag_frags() -> F.Column:
     """Sorted <tag k= v=/> lines, XML-escaped (F3); 'none' sentinel values
     suppressed (OsmPrinter.java:131-135)."""
@@ -194,6 +197,17 @@ def osm_change_xml(
     for name, df in (("create", create), ("modify", modify), ("delete", delete)):
         if df is None:
             continue
+        # driver-side size guard: the document is assembled in memory
+        # (same contract as the reference's StringBuilder report); refuse
+        # clearly instead of OOMing the driver on a mis-scoped input
+        n = df.limit(MAX_CHANGE_ELEMENTS + 1).count()
+        if n > MAX_CHANGE_ELEMENTS:
+            raise ValueError(
+                f"osmChange {name} section exceeds {MAX_CHANGE_ELEMENTS:,} "
+                "elements; write per-element XML with df.write instead of "
+                "the in-memory document (this sink mirrors the reference's "
+                "bounded in-memory report)"
+            )
         if name == "create":
             w = W.orderBy("gtfs_id" if "gtfs_id" in df.columns else "lat")
             df = df.withColumn("elem_id", -F.row_number().over(w))
@@ -230,6 +244,11 @@ def text_report(df: DataFrame, category_col: str = "category") -> str:
     """K3: the human-readable numbered report (WriteFile.java:59-105):
     one numbered line per stop grouped by category. Bounded by report
     size (same contract as the reference's in-memory writer)."""
+    if df.limit(MAX_CHANGE_ELEMENTS + 1).count() > MAX_CHANGE_ELEMENTS:
+        raise ValueError(
+            f"text report exceeds {MAX_CHANGE_ELEMENTS:,} rows; use the CSV "
+            "exports (distributed writers) for bulk output"
+        )
     rows = (
         df.select("gtfs_id", "name", category_col)
         .orderBy(category_col, "gtfs_id")
