@@ -2026,3 +2026,46 @@ def d11(spark, sf_dir):
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("component").cast("long").alias("component"),
     )
+
+
+@register(
+    "d12_simhash_pairs",
+    f"""
+    WITH {_DOCS_AUG_SQL},
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM docs_aug
+    ),
+    bits AS (
+      SELECT doc_id, tok, md5(tok) AS tok_md5, unnest(generate_series(0, 31)) AS b
+      FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, b,
+             sum(CASE WHEN substr(tok_md5, b + 1, 1) IN ('8','9','a','b','c','d','e','f')
+                      THEN 1 ELSE -1 END) AS v
+      FROM bits GROUP BY doc_id, b
+    ),
+    sh AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN CAST(power(2.0, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def d12(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming <= 3 of 32 bits) via pigeonhole
+    banding — per-band hash joins + exact popcount verify; the oracle
+    recomputes the same pairs with an all-pairs scan (tiny at sf0.01)."""
+    from .operators.dedup import simhash32, simhash_pairs
+
+    docs = _docs_aug(spark, sf_dir)
+    sigs = simhash32(docs)
+    return simhash_pairs(sigs, max_hamming=3).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )

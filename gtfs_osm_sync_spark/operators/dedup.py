@@ -300,3 +300,59 @@ def connected_components(
             break
         labels = labels.localCheckpoint()  # truncate the iterative lineage
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+
+
+def simhash_pairs(
+    sigs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    n_bands: int = 4,
+    band_bits: int = 8,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """SimHash near-dup pairs: all (a < b) with Hamming(sig_a, sig_b) <=
+    max_hamming, via pigeonhole banding — two signatures within Hamming
+    n_bands-1 MUST agree exactly on at least one of n_bands bit-bands, so
+    candidates come from per-band equi-joins (hash joins on (band,
+    band_value)), never an all-pairs scan; the exact popcount(xor) check
+    runs on candidates only. Requires max_hamming < n_bands (pigeonhole
+    completeness); the max_bucket guard caps degenerate bands the same
+    way lsh_candidate_pairs does. Returns (id_a, id_b, hamming).
+    """
+    if max_hamming >= n_bands:
+        raise ValueError("pigeonhole requires max_hamming < n_bands")
+    mask = (1 << band_bits) - 1
+    banded = sigs.select(
+        F.col(id_col),
+        F.col(sig_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col(sig_col), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, sig_col, F.col("bk.band").alias("band"), F.col("bk.band_val").alias("band_val"))
+    sized = banded.withColumn(
+        "bucket_n", F.count("*").over(W.partitionBy("band", "band_val"))
+    ).filter(F.col("bucket_n") <= max_bucket)
+    a = sized.select(
+        "band", "band_val", F.col(id_col).alias("id_a"), F.col(sig_col).alias("sig_a")
+    )
+    b = sized.select(
+        "band", "band_val", F.col(id_col).alias("id_b"), F.col(sig_col).alias("sig_b")
+    )
+    return (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

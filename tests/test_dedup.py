@@ -125,3 +125,29 @@ def test_connected_components_vs_union_find(spark):
     assert got == want
     assert got[111] == 100  # end of the 12-hop chain
     assert got[301] == 77 and got[300] == 77  # bridged component
+
+
+def test_simhash_pairs_pigeonhole_completeness(spark):
+    """Banded candidate generation must find EVERY pair within the
+    Hamming budget (pigeonhole: <=3 flips across 4 bands leaves one band
+    untouched) and reject pairs at hamming 4+ even when they share a
+    band."""
+    base = 0b1010_1100_0011_0101_1111_0000_1001_0110
+    rows = [
+        (1, base),
+        (2, base ^ 0b1),                       # hamming 1
+        (3, base ^ 0b111),                     # hamming 3 (all in band 0)
+        (4, base ^ (1 | (1 << 8) | (1 << 16))),  # hamming 3 across 3 bands
+        (5, base ^ (1 | (1 << 8) | (1 << 16) | (1 << 24))),  # hamming 4
+    ]
+    from gtfs_osm_sync_spark.operators.dedup import simhash_pairs
+
+    sigs = spark.createDataFrame(rows, "doc_id int, simhash long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(sigs, max_hamming=3).collect()
+    }
+    assert got[(1, 2)] == 1 and got[(1, 3)] == 3 and got[(1, 4)] == 3
+    assert (1, 5) not in got  # hamming 4: correctly excluded
+    assert got[(2, 3)] == 2  # flips overlap: 0b1 vs 0b111
+    assert all(h <= 3 for h in got.values())
