@@ -119,3 +119,95 @@ def test_compare_world_merged_tags(world):
     assert s1["category"] == "MODIFY"
     assert s1["merged_tags"]["name"] == f"Old name {s1['gtfs_id']}"
     assert s1["merged_tags"]["gtfs_id"] == s1["gtfs_id"]  # restored, padded
+
+
+def _mk_stops(spark, rows):
+    # (gtfs_id, lat, lon, name)
+    return spark.createDataFrame(
+        [
+            (g, lat, lon, str(lat), str(lon), nm, nm, synth.COMPARE_AGENCY, g.lstrip("0") or "0")
+            for g, lat, lon, nm in rows
+        ],
+        synth.COMPARE_STOPS_SCHEMA,
+    )
+
+
+def _mk_nodes(spark, rows):
+    # (osm_id, lat, lon, tags, elem_idx)
+    return spark.createDataFrame(
+        [(o, "2", "u", "t", lat, lon, tags, 0, idx) for o, lat, lon, tags, idx in rows],
+        synth.COMPARE_NODES_SCHEMA,
+    )
+
+
+def test_duplicate_node_gtfs_id_first_in_doc_order_wins(spark):
+    """Two eligible nodes carry the same gtfs_id within range: the FIRST
+    in document order wins (the reference's noUpload guard under its
+    sequential scan, CompareData.java:1060-1075) — even when the later
+    node is CLOSER."""
+    stops = _mk_stops(spark, [("0000042", 10.0, 20.0, "Stop A")])
+    far = {"gtfs_id": "42", "operator": synth.COMPARE_AGENCY, "name": "Stop A", "mark": "far"}
+    near = {"gtfs_id": "42", "operator": synth.COMPARE_AGENCY, "name": "Stop A", "mark": "near"}
+    nodes = _mk_nodes(
+        spark,
+        [
+            ("nFAR", 10.002, 20.0, far, 1),   # ~220 m, doc order 1
+            ("nNEAR", 10.0, 20.0, near, 2),   # 0 m, doc order 2
+        ],
+    )
+    got = C.compare_stops(stops, nodes, [synth.COMPARE_AGENCY], id_digits=7).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["osm_id"] == "nFAR" and r["category"] == "MODIFY"
+    assert r["merged_tags"]["mark"] == "far"
+
+
+def test_missing_gtfs_id_sentinel_is_not_an_id(spark):
+    """gtfs_id='missing' must behave like no id: the node cannot id-match
+    (OsmFormatter pad is skipped, CompareData.java:1031-1036) but DOES
+    conflict a nearby unmatched stop."""
+    stops = _mk_stops(spark, [("0000001", 10.0, 20.0, "S")])
+    nodes = _mk_nodes(
+        spark,
+        [("nA", 10.001, 20.0, {"gtfs_id": "missing", "operator": synth.COMPARE_AGENCY}, 1)],
+    )
+    r = C.compare_stops(stops, nodes, [synth.COMPARE_AGENCY], id_digits=7).collect()[0]
+    assert r["category"] == "UPLOAD_CONFLICT"
+    assert r["merged_tags"]["FIXME"] == C.FIXME_REDUNDANT
+
+
+def test_out_of_range_id_match_plus_foreign_conflict(spark):
+    """A node with the stop's id OUTSIDE 400 m does not match; a foreign
+    node inside (0.5, 400) conflicts; and a foreign node whose gtfs_id
+    belongs to SOME OTHER stop is gated out of conflict reporting
+    (!GTFSstopsIDs.contains, CompareData.java:1213-1216)."""
+    stops = _mk_stops(
+        spark, [("0000001", 10.0, 20.0, "S1"), ("0000002", 50.0, 60.0, "S2")]
+    )
+    nodes = _mk_nodes(
+        spark,
+        [
+            # S1's id but ~2.2 km away: no match
+            ("nFAR", 10.02, 20.0, {"gtfs_id": "1", "operator": synth.COMPARE_AGENCY}, 1),
+            # near S1, carries S2's id (a REAL gtfs id): must NOT conflict S1
+            ("nOTHER", 10.001, 20.0, {"gtfs_id": "2", "operator": synth.COMPARE_AGENCY}, 2),
+        ],
+    )
+    got = {r["gtfs_id"]: r for r in C.compare_stops(stops, nodes, [synth.COMPARE_AGENCY], id_digits=7).collect()}
+    assert got["0000001"]["category"] == "UPLOAD_NO_CONFLICT"
+    assert got["0000002"]["category"] == "UPLOAD_NO_CONFLICT"
+
+
+def test_operator_gate_excludes_rival_and_keeps_missing(spark):
+    stops = _mk_stops(spark, [("0000001", 10.0, 20.0, "S")])
+    nodes = _mk_nodes(
+        spark,
+        [
+            ("nRIVAL", 10.0, 20.0, {"gtfs_id": "1", "operator": "Rival Lines"}, 1),
+            ("nMISS", 10.0001, 20.0, {"gtfs_id": "1", "operator": "missing"}, 2),
+        ],
+    )
+    r = C.compare_stops(stops, nodes, [synth.COMPARE_AGENCY], id_digits=7).collect()[0]
+    # the rival-operator node is ineligible; the 'missing'-operator node
+    # id-matches at ~11 m -> MODIFY
+    assert r["osm_id"] == "nMISS" and r["category"] == "MODIFY"
