@@ -98,13 +98,14 @@ def squeeze_whitespace(col: Column) -> Column:
 
 def pickup_dropoff_to_role(pickup: Column, dropoff: Column) -> Column:
     """F12: pickup/drop_off codes -> PTv2 member role
-    (task/CompareData.java:653-662): 1/0 -> platform_exit_only,
-    0/1 -> platform_entry_only, else platform."""
+    (task/CompareData.java:653-662). The reference tests ==1 / !=1 (not
+    1/0 pairs): GTFS codes 2/3 (phone agency / coordinate with driver)
+    count as 'available' — pickup==1 with drop_off 0/2/3 is exit-only."""
     p = pickup.cast("int")
     d = dropoff.cast("int")
     return (
-        F.when((p == 1) & (d == 0), "platform_exit_only")
-        .when((p == 0) & (d == 1), "platform_entry_only")
+        F.when((p == 1) & (d != 1), "platform_exit_only")
+        .when((d == 1) & (p != 1), "platform_entry_only")
         .otherwise("platform")
     )
 

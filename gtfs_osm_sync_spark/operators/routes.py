@@ -170,3 +170,99 @@ def scored_route_match(
         .filter(F.col("rn") == 1)
         .select("trip_id", "rel_id", "score")
     )
+
+
+def build_route_relations(
+    variants: DataFrame,
+    nodes: DataFrame | None = None,
+    operator_full: str = "",
+    mode: str = "bus",
+    id_digits: int = 0,
+) -> DataFrame:
+    """The route-upload composition (compareRouteData,
+    task/CompareData.java:615-690): one OSM route relation per variant —
+    members are the variant's stops IN SEQUENCE ORDER, each resolved to
+    its OSM node by gtfs_id when one exists (negative position-based temp
+    id otherwise, CompareData.java:641-650), with the PTv2 role from
+    pickup/drop_off (F12, CompareData.java:653-662) rewritten against the
+    referenced node's public_transport value (F13,
+    RelationMember.java:60-82). Output feeds sinks.osm_change_xml
+    directly (primitive_type='relation', members, tags).
+
+    Plan: posexplode(stops) -> one hash equi-join against the node layer's
+    (gtfs_id -> osm_id, public_transport) projection -> re-assemble with
+    array_sort(collect_list(struct(pos, ...))) — the same keyed
+    collect_list shape as route_variants itself.
+    """
+    from ..functions.mappings import (
+        pickup_dropoff_to_role,
+        rewrite_member_role,
+        zero_pad_id,
+    )
+
+    ex = variants.select(
+        "route_id",
+        "variant_id",
+        F.posexplode("stops").alias("pos", "s"),
+    ).select(
+        "route_id",
+        "variant_id",
+        "pos",
+        F.col("s.stop_id").alias("stop_id"),
+        pickup_dropoff_to_role(F.col("s.pickup_type"), F.col("s.drop_off_type")).alias(
+            "role"
+        ),
+    )
+    if nodes is not None:
+        node_map = nodes.filter(F.col("tags").getItem("gtfs_id").isNotNull()).select(
+            (
+                zero_pad_id(F.col("tags").getItem("gtfs_id"), id_digits)
+                if id_digits
+                else F.col("tags").getItem("gtfs_id")
+            ).alias("stop_id"),
+            F.col("osm_id").alias("node_osm_id"),
+            F.col("tags").getItem("public_transport").alias("ref_pt"),
+        ).dropDuplicates(["stop_id"])
+        ex = ex.join(F.broadcast(node_map), "stop_id", "left")
+    else:
+        ex = ex.withColumn("node_osm_id", F.lit(None).cast("string")).withColumn(
+            "ref_pt", F.lit(None).cast("string")
+        )
+    ex = ex.withColumn(
+        "member_ref",
+        F.coalesce(F.col("node_osm_id"), (-(F.col("pos") + 1)).cast("string")),
+    ).withColumn("final_role", rewrite_member_role(F.col("role"), F.col("ref_pt")))
+    rel = ex.groupBy("route_id", "variant_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("pos", "member_ref", "final_role")
+                )
+            ),
+            lambda m: F.struct(
+                m["member_ref"].alias("ref"),
+                F.lit("node").alias("mtype"),
+                m["final_role"].alias("role"),
+            ),
+        ).alias("members")
+    )
+    tags = F.create_map(
+        F.lit("type"), F.lit("route"),
+        F.lit("route"), F.lit(mode),
+        F.lit("network"), F.lit(operator_full),
+        F.lit("ref"), F.col("route_id"),
+        F.lit("name"), F.concat(F.lit(operator_full), F.lit(" route "), F.col("route_id")),
+        F.lit("gtfs:route_id"), F.col("route_id"),
+        F.lit("gtfs:trip_id:sample"), F.col("variant_id"),
+    )
+    return rel.select(
+        F.col("variant_id").alias("osm_id"),
+        F.col("route_id"),
+        F.lit("relation").alias("primitive_type"),
+        F.lit(None).cast("double").alias("lat"),
+        F.lit(None).cast("double").alias("lon"),
+        F.lit(None).cast("string").alias("version"),
+        tags.alias("tags"),
+        F.lit(None).cast("array<string>").alias("nds"),
+        F.col("members"),
+    )

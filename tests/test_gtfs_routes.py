@@ -157,3 +157,60 @@ def test_invert_changeset(spark):
     )
     got = {r["id"]: r["action"] for r in K.invert_changeset(df).collect()}
     assert got == {"1": "delete", "2": "create", "3": "modify"}
+
+
+def test_build_route_relations_end_to_end(spark):
+    """The route-upload composition: variants -> members in sequence
+    order with F12 roles, gtfs_id-resolved refs, F13 rewrite against the
+    referenced node's public_transport, temp ids for unmatched stops —
+    serialized through the K4 relation sink and parsed back."""
+    from pyspark.sql import types as T
+    import xml.etree.ElementTree as ET
+    import io
+
+    from gtfs_osm_sync_spark.operators.routes import build_route_relations
+    from gtfs_osm_sync_spark.sources import sinks
+
+    stop_struct = (
+        "array<struct<stop_sequence:int,stop_id:string,pickup_type:int,"
+        "drop_off_type:int,arrival_time:string,departure_time:string>>"
+    )
+    variants = spark.createDataFrame(
+        [
+            (
+                "R1",
+                "trip001",
+                [
+                    (1, "0100", 0, 0, "08:00:00", "08:00:00"),   # platform
+                    (2, "0200", 1, 2, "08:05:00", "08:05:00"),   # exit_only (d=2 counts as !=1)
+                    (3, "0300", 2, 1, "08:10:00", "08:10:00"),   # entry_only
+                    (4, "9999", 0, 0, "08:15:00", "08:15:00"),   # no OSM node -> temp id
+                ],
+            )
+        ],
+        f"route_id string, variant_id string, stops {stop_struct}",
+    )
+    nodes = spark.createDataFrame(
+        [
+            ("n100", "1", "u", "t", 1.0, 2.0, {"gtfs_id": "0100", "public_transport": "stop_position"}, 0, 0),
+            ("n200", "1", "u", "t", 1.0, 2.1, {"gtfs_id": "0200", "public_transport": "stop_position"}, 0, 1),
+            ("n300", "1", "u", "t", 1.0, 2.2, {"gtfs_id": "0300"}, 0, 2),
+        ],
+        "osm_id string, version string, user string, timestamp string, lat double,"
+        " lon double, tags map<string,string>, file_idx int, elem_idx long",
+    )
+    rel = build_route_relations(variants, nodes, operator_full="Metro Transit")
+    row = rel.collect()[0]
+    got = [(m["ref"], m["role"]) for m in row["members"]]
+    assert got == [
+        ("n100", "platform"),             # F13: bare role kept (reference quirk)
+        ("n200", "stop_exit_only"),       # F13 rewrote platform_exit_only vs stop_position
+        ("n300", "platform_entry_only"),  # node has no pt value -> role unchanged
+        ("-4", "platform"),               # unmatched stop -> position temp id
+    ]
+    assert row["tags"]["type"] == "route" and row["tags"]["ref"] == "R1"
+
+    xml = sinks.osm_change_xml(rel.drop("route_id"), None, None, changeset="DUMMY")
+    parsed = ET.parse(io.StringIO(xml)).getroot()
+    members = parsed.find("create").find("relation").findall("member")
+    assert [(m.get("ref"), m.get("role")) for m in members] == got
