@@ -22,6 +22,19 @@ Reference semantics (task/CompareData.java:1000-1290):
   foreign) is UPLOAD_CONFLICT with a FIXME tag
   (CompareData.java:1152-1222); everything else is UPLOAD_NO_CONFLICT
   (CompareData.java:1262-1283).
+- same-location adoption (CompareData.java:1224-1262): a stop with NO id
+  match but a gated-in node within ERROR_TO_ZERO whose public_transport
+  equals the stop's expected OSM type is treated as the SAME stop: the
+  node is adopted (MODIFY + noUpload, gtfs_id assigned), never uploaded
+  as a duplicate. The reference's parallelStream makes the id-match vs
+  adoption race order-dependent when both exist for one stop; here the
+  id match deterministically wins and adoption applies only to stops
+  with no id match anywhere.
+- node-side redundancy modifies (CompareData.java:1172-1210): each
+  id-LESS node (gtfs_id tag absent or 'missing', no FIXME tag) that sits
+  within (0.5 m, 400 m) of an unmatched stop itself enters the modify
+  set with FIXME/note (+ network/gtfs_id 'missing' fills) — exposed as
+  `redundant_node_modifies` so the osmChange sink can include them.
 - merged tags: MODIFY keys take OSM values as default (addToReport,
   CompareData.java:290-299: addAndOverwriteTags(osm) + gtfs_id restored);
   NOTHING_NEW keeps gtfs values and only ADDS osm-only keys
@@ -51,16 +64,21 @@ ERROR_TO_ZERO_M = 0.5  # CompareData.java:127
 FIXME_REDUNDANT = "This bus stop could be redundant"  # CompareData.java:1155
 
 
-def operator_gate(op_col, agency_names: list[str]):
+def operator_gate(op_col, agency_names: list[str], alias_regexes: list[str] | None = None):
     """OperatorInfo.isTheSameOperator as a Column predicate
     (OperatorInfo.java:112-126): NULL or 'missing' passes; otherwise
     BIDIRECTIONAL case-insensitive containment against any configured
-    agency name/abbreviation/alias."""
+    agency name/abbreviation/alias, OR a full match of any configured
+    alias regex (possibleOperatorRegexPattern, OperatorInfo.java:104-125
+    — Pattern.CASE_INSENSITIVE + Matcher.matches, hence the (?i)^(?:…)$
+    anchoring)."""
     up = F.upper(op_col)
     cond = op_col.isNull() | (op_col == "missing")
     for name in agency_names:
         n = F.lit(name.upper())
         cond = cond | up.contains(n) | n.contains(up)
+    for rx in alias_regexes or []:
+        cond = cond | op_col.rlike(f"(?i)^(?:{rx})$")
     return cond
 
 
@@ -92,6 +110,94 @@ def _diff_empty(osm_tags, g_tags):
     )
 
 
+def _gated_nodes(
+    nodes: DataFrame,
+    agency_names: list[str],
+    id_digits: int,
+    network_key: str,
+    alias_regexes: list[str] | None = None,
+) -> DataFrame:
+    """Operator-gated node layer with the padded gtfs_id folded into the
+    tag map (CompareData.java:1028-1054) plus the raw id/operator values
+    the node-side modify branch needs (null vs 'missing' distinction,
+    CompareData.java:1177-1205)."""
+    padded_gid = F.when(
+        F.col("tags").getItem("gtfs_id").isNotNull()
+        & (F.col("tags").getItem("gtfs_id") != "missing"),
+        zero_pad_id(F.col("tags").getItem("gtfs_id"), id_digits),
+    )
+    # the reference pads gtfs_id IN PLACE inside the node's tag map before
+    # any tag comparison (osmtag.put, CompareData.java:1031-1036) — an
+    # unpadded node id must not register as a tag diff
+    tags_padded = F.map_filter(
+        F.map_zip_with(
+            F.col("tags"),
+            F.create_map(F.lit("gtfs_id"), padded_gid),
+            lambda k, v, p: F.coalesce(p, v),
+        ),
+        lambda k, v: v.isNotNull(),
+    )
+    return nodes.filter(
+        operator_gate(F.col("tags").getItem(network_key), agency_names, alias_regexes)
+    ).select(
+        F.col("osm_id"),
+        F.col("version").cast("int").cast("string").alias("osm_version"),
+        F.col("user").alias("osm_user"),
+        F.col("timestamp").alias("osm_timestamp"),
+        F.col("lat").alias("o_lat"),
+        F.col("lon").alias("o_lon"),
+        tags_padded.alias("osm_tags"),
+        padded_gid.alias("osm_gtfs_id"),
+        F.col("tags").getItem("gtfs_id").alias("o_gid_raw"),
+        F.col("tags").getItem(network_key).alias("o_operator_raw"),
+        F.col("tags").getItem("FIXME").isNotNull().alias("o_has_fixme"),
+        (F.col("file_idx").cast("long") * F.lit(1 << 40) + F.col("elem_idx")).alias(
+            "doc_order"
+        ),
+    )
+
+
+def _probe_pairs(g: DataFrame, n: DataFrame, unmatched: DataFrame, radius_m: float, b):
+    """Cell-prejoin radius join between the UNMATCHED stops and the gated
+    node layer: ring-exploded stop side (bounded — a transit feed),
+    streaming node side, haversine codegen prefilter, exact Vincenty on
+    survivors. Returns pairs with dist_m < radius_m plus `is_foreign`
+    (node gtfs_id known to NO stop in the feed — the UPLOAD_CONFLICT
+    gate, CompareData.java:1216-1222). Pairs where the ids match cannot
+    occur (they'd be id matches, and the stop side is unmatched)."""
+    gids = (
+        g.select(F.col("gtfs_id").alias("osm_gtfs_id"))
+        .distinct()
+        .withColumn("_known", F.lit(True))
+    )
+    fn = (
+        n.join(b(gids), "osm_gtfs_id", "left")
+        .withColumn("is_foreign", F.col("_known").isNull())
+        .drop("_known")
+    )
+    hexc = make_hex_cell_udf(HEX_RES)
+    ring = make_hex_ring_adaptive_udf(radius_m, HEX_RES)
+    u = unmatched.withColumn("_c", hexc("lat", "lon")).withColumn(
+        "hex_cell", F.explode(ring(F.col("_c"), F.col("lat")))
+    )
+    fn = fn.withColumn("hex_cell", hexc("o_lat", "o_lon"))
+    # broadcast the STOP side: unmatched stops x ring cells is bounded
+    # (a transit feed), the foreign-node layer is not — it streams through
+    # the hash join like the id-match scan
+    return (
+        fn.join(b(u), "hex_cell")
+        .withColumn(
+            "_pre", haversine_m_col(F.col("lat"), F.col("lon"), F.col("o_lat"), F.col("o_lon"))
+        )
+        .filter(F.col("_pre") < radius_m * 1.01)
+        .withColumn(
+            "dist_m", vincenty_m_udf(F.col("o_lat"), F.col("o_lon"), F.col("lat"), F.col("lon"))
+        )
+        .filter(F.col("dist_m") < radius_m)
+        .drop("_c", "_pre", "hex_cell")
+    )
+
+
 def compare_stops(
     gtfs: DataFrame,
     nodes: DataFrame,
@@ -100,6 +206,7 @@ def compare_stops(
     radius_m: float = RANGE_M,
     network_key: str = "operator",
     broadcast_stops: bool = True,
+    alias_regexes: list[str] | None = None,
 ) -> DataFrame:
     """Categorize every GTFS stop against the OSM node layer.
 
@@ -118,38 +225,7 @@ def compare_stops(
     """
     g = gtfs_tag_map(gtfs, network_key)
     b = F.broadcast if broadcast_stops else (lambda df: df)
-
-    padded_gid = F.when(
-        F.col("tags").getItem("gtfs_id").isNotNull()
-        & (F.col("tags").getItem("gtfs_id") != "missing"),
-        zero_pad_id(F.col("tags").getItem("gtfs_id"), id_digits),
-    )
-    # the reference pads gtfs_id IN PLACE inside the node's tag map before
-    # any tag comparison (osmtag.put, CompareData.java:1031-1036) — an
-    # unpadded node id must not register as a tag diff
-    tags_padded = F.map_filter(
-        F.map_zip_with(
-            F.col("tags"),
-            F.create_map(F.lit("gtfs_id"), padded_gid),
-            lambda k, v, p: F.coalesce(p, v),
-        ),
-        lambda k, v: v.isNotNull(),
-    )
-    n = nodes.filter(
-        operator_gate(F.col("tags").getItem(network_key), agency_names)
-    ).select(
-        F.col("osm_id"),
-        F.col("version").cast("int").cast("string").alias("osm_version"),
-        F.col("user").alias("osm_user"),
-        F.col("timestamp").alias("osm_timestamp"),
-        F.col("lat").alias("o_lat"),
-        F.col("lon").alias("o_lon"),
-        tags_padded.alias("osm_tags"),
-        padded_gid.alias("osm_gtfs_id"),
-        (F.col("file_idx").cast("long") * F.lit(1 << 40) + F.col("elem_idx")).alias(
-            "doc_order"
-        ),
-    )
+    n = _gated_nodes(nodes, agency_names, id_digits, network_key, alias_regexes)
 
     # ---- id matches: hash equi-join on the padded id, exact Vincenty gate
     # the stop side is the SMALL side at any scale (a transit feed is
@@ -176,6 +252,38 @@ def compare_stops(
             F.lit("NOTHING_NEW"),
         ).otherwise(F.lit("MODIFY")),
     )
+
+    matched_ids = b(best.select("gtfs_id"))
+    unmatched = g.join(matched_ids, "gtfs_id", "left_anti")
+
+    # ---- radius probe over the unmatched stops: feeds BOTH the
+    # same-location adoption branch (<= 0.5 m) and the conflict branch
+    pairs = _probe_pairs(g, n, unmatched, radius_m, b)
+
+    # same-location adoption (CompareData.java:1224-1262): node within
+    # ERROR_TO_ZERO whose public_transport equals the stop's expected OSM
+    # type -> the stop adopts the node (MODIFY, enters noUpload). The
+    # reference NPEs on a pt-less node here; we require both sides
+    # non-null. First node in document order wins (parallelStream racy in
+    # the reference; pinned deterministic here).
+    stop_pt = (
+        F.col("public_transport")
+        if "public_transport" in gtfs.columns
+        else F.lit(None).cast("string")
+    )
+    adopted = (
+        pairs.filter(
+            (F.col("dist_m") <= ERROR_TO_ZERO_M)
+            & F.col("osm_tags").getItem("public_transport").isNotNull()
+            & (F.col("osm_tags").getItem("public_transport") == stop_pt)
+        )
+        .withColumn("_rn", F.row_number().over(first_wins))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumn("category", F.lit("MODIFY"))
+    )
+    best = best.unionByName(adopted.select(*best.columns))
+
     # merged tags: MODIFY -> osm values win, gtfs_id restored; NOTHING_NEW
     # -> gtfs values win, osm-only keys added. map_zip_with merges by key.
     osm_wins = F.map_zip_with(
@@ -200,39 +308,17 @@ def compare_stops(
         "final_lon", F.when(F.col("category") == "MODIFY", F.col("o_lon")).otherwise(F.col("lon"))
     )
 
-    matched_ids = b(best.select("gtfs_id"))
-
-    # ---- conflict probe for the UNMATCHED stops: cell-prejoin radius join
-    unmatched = g.join(matched_ids, "gtfs_id", "left_anti")
-    foreign = n.join(
-        b(g.select(F.col("gtfs_id").alias("osm_gtfs_id")).distinct()),
-        "osm_gtfs_id",
-        "left_anti",
+    # ---- conflict branch: adopted stops entered noUpload, so only the
+    # REST of the unmatched stops can conflict (CompareData.java:1060).
+    rest = unmatched.join(b(adopted.select("gtfs_id")), "gtfs_id", "left_anti")
+    conflict_ids = b(
+        pairs.filter((F.col("dist_m") > ERROR_TO_ZERO_M) & F.col("is_foreign"))
+        .select("gtfs_id")
+        .distinct()
     )
-    hexc = make_hex_cell_udf(HEX_RES)
-    ring = make_hex_ring_adaptive_udf(radius_m, HEX_RES)
-    u = unmatched.withColumn("_c", hexc("lat", "lon")).withColumn(
-        "hex_cell", F.explode(ring(F.col("_c"), F.col("lat")))
-    )
-    fn = foreign.withColumn("hex_cell", hexc("o_lat", "o_lon"))
-    # broadcast the STOP side: unmatched stops x ring cells is bounded
-    # (a transit feed), the foreign-node layer is not — it streams through
-    # the hash join like the id-match scan
-    cand = (
-        fn.join(b(u), "hex_cell")
-        .withColumn(
-            "_pre", haversine_m_col(F.col("lat"), F.col("lon"), F.col("o_lat"), F.col("o_lon"))
-        )
-        .filter(F.col("_pre") < radius_m * 1.01)
-        .withColumn(
-            "dist_m", vincenty_m_udf(F.col("o_lat"), F.col("o_lon"), F.col("lat"), F.col("lon"))
-        )
-        .filter((F.col("dist_m") > ERROR_TO_ZERO_M) & (F.col("dist_m") < radius_m))
-    )
-    conflict_ids = b(cand.select("gtfs_id").distinct())
 
     conflicts = (
-        unmatched.join(conflict_ids, "gtfs_id", "left_semi")
+        rest.join(conflict_ids, "gtfs_id", "left_semi")
         .withColumn("category", F.lit("UPLOAD_CONFLICT"))
         .withColumn(
             "merged_tags",
@@ -244,7 +330,7 @@ def compare_stops(
         )
     )
     clean = (
-        unmatched.join(conflict_ids, "gtfs_id", "left_anti")
+        rest.join(conflict_ids, "gtfs_id", "left_anti")
         .withColumn("category", F.lit("UPLOAD_NO_CONFLICT"))
         .withColumn("merged_tags", F.col("g_tags"))
     )
@@ -272,6 +358,112 @@ def compare_stops(
         best.select(*out_cols)
         .unionByName(unmatched_shape(conflicts))
         .unionByName(unmatched_shape(clean))
+    )
+
+
+NOTE_ADD_ID_OP = "Please add gtfs_id and operator after removing FIXME"  # CompareData.java:1184
+NOTE_ADD_ID = "Please add gtfs_id after removing FIXME"  # CompareData.java:1189
+
+
+def redundant_node_modifies(
+    gtfs: DataFrame,
+    nodes: DataFrame,
+    agency_names: list[str],
+    id_digits: int = 4,
+    radius_m: float = RANGE_M,
+    network_key: str = "operator",
+    broadcast_stops: bool = True,
+    alias_regexes: list[str] | None = None,
+) -> DataFrame:
+    """Node-side redundancy modifies (CompareData.java:1172-1210): every
+    gated-in node with NO usable gtfs_id (tag absent or 'missing') and no
+    pre-existing FIXME that lies within (ERROR_TO_ZERO, radius) of some
+    unmatched stop gains FIXME + note tags (addTag = put-if-absent,
+    OsmPrimitive.java:44-52) plus 'missing' fills for absent
+    network/gtfs_id keys, and enters the modify set feeding the osmChange
+    sink — the reference's companion output to compare_stops'
+    UPLOAD_CONFLICT rows. Returns one row per node (osm_id, version, lat,
+    lon, user, timestamp, tags), sink-ready for osm_change_xml(modify=).
+
+    Nodes consumed by the same-location adoption branch are excluded:
+    the reference's `!modify.contains(es)` guard (CompareData.java:1179)
+    skips nodes already queued for modification.
+    """
+    g = gtfs_tag_map(gtfs, network_key)
+    b = F.broadcast if broadcast_stops else (lambda df: df)
+    n = _gated_nodes(nodes, agency_names, id_digits, network_key, alias_regexes)
+
+    matched_ids = (
+        b(g.select("gtfs_id", "lat", "lon"))
+        .join(n.select("osm_gtfs_id", "o_lat", "o_lon"), g["gtfs_id"] == n["osm_gtfs_id"])
+        .withColumn(
+            "dist_m", vincenty_m_udf(F.col("o_lat"), F.col("o_lon"), F.col("lat"), F.col("lon"))
+        )
+        .filter(F.col("dist_m") < radius_m)
+        .select("gtfs_id")
+        .distinct()
+    )
+    unmatched = g.join(b(matched_ids), "gtfs_id", "left_anti")
+    pairs = _probe_pairs(g, n, unmatched, radius_m, b)
+
+    stop_pt = (
+        F.col("public_transport")
+        if "public_transport" in gtfs.columns
+        else F.lit(None).cast("string")
+    )
+    adopted_nodes = (
+        pairs.filter(
+            (F.col("dist_m") <= ERROR_TO_ZERO_M)
+            & F.col("osm_tags").getItem("public_transport").isNotNull()
+            & (F.col("osm_tags").getItem("public_transport") == stop_pt)
+        )
+        .select("osm_id")
+        .distinct()
+    )
+    cand = (
+        pairs.filter(
+            (F.col("dist_m") > ERROR_TO_ZERO_M)
+            & F.col("osm_gtfs_id").isNull()
+            & ~F.col("o_has_fixme")
+        )
+        .join(b(adopted_nodes), "osm_id", "left_anti")
+    )
+    # one modify per node no matter how many stops flag it
+    per_node = (
+        cand.withColumn(
+            "_rn", F.row_number().over(W.partitionBy("osm_id").orderBy("gtfs_id"))
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    note = F.when(
+        F.col("o_operator_raw").isNull() | (F.col("o_operator_raw") == "missing"),
+        F.lit(NOTE_ADD_ID_OP),
+    ).otherwise(F.lit(NOTE_ADD_ID))
+    # addTag is put-if-absent: the node's existing value wins
+    with_fixme = F.map_zip_with(
+        F.col("osm_tags"),
+        F.create_map(F.lit("FIXME"), F.lit(FIXME_REDUNDANT), F.lit("note"), note),
+        lambda k, ov, av: F.coalesce(ov, av),
+    )
+    fills = F.create_map(
+        F.lit(network_key),
+        F.when(F.col("o_operator_raw").isNull(), F.lit("missing")),
+        F.lit("gtfs_id"),
+        F.when(F.col("o_gid_raw").isNull(), F.lit("missing")),
+    )
+    merged = F.map_filter(
+        F.map_zip_with(with_fixme, fills, lambda k, mv, fv: F.coalesce(mv, fv)),
+        lambda k, v: v.isNotNull(),
+    )
+    return per_node.select(
+        "osm_id",
+        F.col("osm_version").alias("version"),
+        F.col("o_lat").alias("lat"),
+        F.col("o_lon").alias("lon"),
+        F.col("osm_user").alias("user"),
+        F.col("osm_timestamp").alias("timestamp"),
+        merged.alias("tags"),
     )
 
 

@@ -211,3 +211,108 @@ def test_operator_gate_excludes_rival_and_keeps_missing(spark):
     # the rival-operator node is ineligible; the 'missing'-operator node
     # id-matches at ~11 m -> MODIFY
     assert r["osm_id"] == "nMISS" and r["category"] == "MODIFY"
+
+
+def test_adoption_same_location_equal_platform_type(spark):
+    """Same-location adoption (CompareData.java:1224-1262): an id-less
+    node within ERROR_TO_ZERO whose public_transport equals the stop's
+    expected OSM type is adopted — MODIFY with the node's identity and
+    gtfs_id restored, NOT a duplicate UPLOAD_NO_CONFLICT."""
+    stops = _mk_stops(spark, [("0000001", 10.0, 20.0, "S1"), ("0000002", 50.0, 60.0, "S2")]).withColumn(
+        "public_transport", F.lit("platform")
+    )
+    nodes = _mk_nodes(
+        spark,
+        [
+            # ~0.1 m from S1, no gtfs_id, equal platform type -> adopt
+            ("nTWIN", 10.000001, 20.0,
+             {"operator": synth.COMPARE_AGENCY, "public_transport": "platform", "name": "Old"}, 1),
+            # ~0.1 m from S2 but WRONG platform type -> no adoption, and
+            # <=0.5 m never conflicts -> S2 stays UPLOAD_NO_CONFLICT
+            ("nSTATION", 50.000001, 60.0,
+             {"operator": synth.COMPARE_AGENCY, "public_transport": "station"}, 2),
+        ],
+    )
+    got = {r["gtfs_id"]: r for r in C.compare_stops(stops, nodes, [synth.COMPARE_AGENCY], id_digits=7).collect()}
+    r1 = got["0000001"]
+    assert r1["category"] == "MODIFY" and r1["osm_id"] == "nTWIN"
+    assert r1["merged_tags"]["gtfs_id"] == "0000001"  # assigned/restored
+    assert r1["merged_tags"]["name"] == "Old"  # MODIFY default: OSM value wins
+    assert r1["final_lat"] == 10.000001  # node location is the default
+    assert got["0000002"]["category"] == "UPLOAD_NO_CONFLICT"
+
+
+def test_adoption_loses_to_id_match_and_needs_pt(spark):
+    """A stop with a true id match keeps it even when an id-less twin
+    sits at 0 m (pinned deterministic precedence); a pt-less twin never
+    adopts (reference NPEs there — we require both sides non-null)."""
+    stops = _mk_stops(spark, [("0000001", 10.0, 20.0, "S1"), ("0000002", 50.0, 60.0, "S2")]).withColumn(
+        "public_transport", F.lit("platform")
+    )
+    nodes = _mk_nodes(
+        spark,
+        [
+            ("nTWIN", 10.0, 20.0, {"operator": synth.COMPARE_AGENCY, "public_transport": "platform"}, 1),
+            ("nID", 10.001, 20.0, {"gtfs_id": "1", "operator": synth.COMPARE_AGENCY}, 2),
+            # S2's twin lacks public_transport entirely -> no adoption
+            ("nNOPT", 50.0, 60.0, {"operator": synth.COMPARE_AGENCY}, 3),
+        ],
+    )
+    got = {r["gtfs_id"]: r for r in C.compare_stops(stops, nodes, [synth.COMPARE_AGENCY], id_digits=7).collect()}
+    assert got["0000001"]["osm_id"] == "nID"  # id match wins over adoption
+    assert got["0000002"]["category"] == "UPLOAD_NO_CONFLICT"
+
+
+def test_redundant_node_modifies(spark):
+    """Node-side modify companion (CompareData.java:1172-1210): id-less
+    nodes near an unmatched stop gain FIXME/note (+ 'missing' fills);
+    FIXME-carrying, id-bearing, and matched-stop-only nodes are skipped."""
+    stops = _mk_stops(
+        spark,
+        [("0000001", 10.0, 20.0, "S1"), ("0000002", 30.0, 40.0, "S2"), ("0000003", 70.0, 80.0, "S3")],
+    )
+    nodes = _mk_nodes(
+        spark,
+        [
+            # ~110 m from unmatched S1, no id, no operator -> modify
+            ("nFLAG", 10.001, 20.0, {"name": "x"}, 1),
+            # near S1 too, but already FIXME'd -> skipped
+            ("nFIX", 10.0012, 20.0, {"FIXME": "old", "operator": "missing"}, 2),
+            # near S1, operator present (gate passes), id 'missing' -> modify w/ id-only note
+            ("nOP", 10.0008, 20.0, {"gtfs_id": "missing", "operator": synth.COMPARE_AGENCY}, 3),
+            # id match for S2 -> S2 matched; its neighborhood node must not fire
+            ("nMATCH", 30.0, 40.0, {"gtfs_id": "2", "operator": synth.COMPARE_AGENCY}, 4),
+            ("nNEAR2", 30.001, 40.0, {"gtfs_id": "2", "operator": synth.COMPARE_AGENCY}, 5),
+        ],
+    )
+    got = {r["osm_id"]: r for r in C.redundant_node_modifies(stops, nodes, [synth.COMPARE_AGENCY], id_digits=7).collect()}
+    assert set(got) == {"nFLAG", "nOP"}
+    f = got["nFLAG"]["tags"]
+    assert f["FIXME"] == C.FIXME_REDUNDANT
+    assert f["note"] == C.NOTE_ADD_ID_OP
+    assert f["gtfs_id"] == "missing" and f["operator"] == "missing"
+    o = got["nOP"]["tags"]
+    assert o["note"] == C.NOTE_ADD_ID
+    assert o["gtfs_id"] == "missing" and o["operator"] == synth.COMPARE_AGENCY
+    assert got["nFLAG"]["version"] == "2" and got["nFLAG"]["lat"] == 10.001
+
+
+def test_operator_gate_regex_alias(spark):
+    """Configured alias regexes match full-string case-insensitively
+    (possibleOperatorRegexPattern, OperatorInfo.java:104-125)."""
+    stops = _mk_stops(spark, [("0000001", 10.0, 20.0, "S")])
+    nodes = _mk_nodes(
+        spark,
+        [("nALIAS", 10.0, 20.0, {"gtfs_id": "1", "operator": "XYZ Lines"}, 1)],
+    )
+    no_alias = C.compare_stops(stops, nodes, [synth.COMPARE_AGENCY], id_digits=7).collect()[0]
+    assert no_alias["category"] == "UPLOAD_NO_CONFLICT"  # gated out
+    with_alias = C.compare_stops(
+        stops, nodes, [synth.COMPARE_AGENCY], id_digits=7, alias_regexes=[r"xyz\s+l.*"]
+    ).collect()[0]
+    assert with_alias["category"] == "MODIFY" and with_alias["osm_id"] == "nALIAS"
+    # full-match anchoring: a substring-only regex hit must NOT pass
+    partial = C.compare_stops(
+        stops, nodes, [synth.COMPARE_AGENCY], id_digits=7, alias_regexes=[r"xyz"]
+    ).collect()[0]
+    assert partial["category"] == "UPLOAD_NO_CONFLICT"
