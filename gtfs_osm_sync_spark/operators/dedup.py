@@ -250,56 +250,81 @@ def simhash32(
     )
 
 
+def _star_round(e: DataFrame, large: bool) -> DataFrame:
+    """One large-star or small-star step (Kiveris et al., 'Connected
+    Components in MapReduce and Beyond', SoCC'14). For each node u with
+    neighborhood G(u) and m = min(G(u) + {u}): large-star rewires every
+    neighbor v > u to m; small-star rewires every neighbor v <= u (and u
+    itself) to m. Everything is a groupBy + hash join on node id —
+    map-side combined min, no windows, no driver state."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("_mv"))
+        .select("u", F.least("u", "_mv").alias("m"))
+    )
+    j = sym.join(mins, "u")
+    if large:
+        out = j.filter(F.col("v") > F.col("u")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+    else:
+        out = (
+            j.filter(F.col("v") <= F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select("u", F.col("m").alias("v")))
+        )
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    check_every: int = 2,
 ) -> DataFrame:
     """Near-dup CLUSTERING: connected components over the dup-pair graph,
     labeling every member with the component's minimum doc id (the
     canonical survivor). Returns (doc_id, component).
 
-    Algorithm: min-label propagation — each round every node takes the
-    min label among itself and its neighbors (one shuffle per round:
-    edges join labels, groupBy node, partial-agg min). Rounds needed =
-    graph diameter; dedup components are shallow (near-dup clusters are
-    cliques or short chains), so this converges in 2-4 rounds in
-    practice, with a driver-side fixpoint check per round (one count()
-    on a boolean filter — cheap, and honest about the iteration).
-    large-star/small-star halves the diameter per round for adversarially
-    long chains; max_iter bounds pathological inputs either way.
+    Algorithm: alternating large-star/small-star (Kiveris et al.,
+    SoCC'14) — each round contracts toward min-rooted stars, converging
+    in O(log^2 n) rounds instead of O(diameter) for plain min-label
+    propagation, so a pathological 10^6-link chain at 100 TB costs ~20
+    shuffles, not 10^6. The fixpoint probe (one count+hash aggregate
+    action over the edge set) runs every `check_every` rounds rather than
+    per round; localCheckpoint truncates the iterative lineage. The
+    converged edge set IS the answer: (node -> component-min) star edges,
+    roots rejoined from the original node set.
     """
-    edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    e = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "label", F.col("node")
+    prev_sig = None
+    for r in range(max_iter):
+        e = _star_round(e, large=True)
+        e = _star_round(e, large=False).localCheckpoint()
+        if (r + 1) % check_every == 0 or r == max_iter - 1:
+            row = e.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+            ).collect()[0]
+            sig = (row["n"], row["h"])
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+    all_nodes = (
+        pairs.select(F.col(id_a).alias("doc_id"))
+        .union(pairs.select(F.col(id_b).alias("doc_id")))
+        .distinct()
     )
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges["dst"] == labels["node"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nb_label"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce(F.col("nb_label"), F.col("label"))).alias(
-                    "new_label"
-                ),
-                "label",
-            )
-        )
-        changed = new_labels.filter(F.col("new_label") != F.col("label")).limit(1).count()
-        labels = new_labels.select("node", F.col("new_label").alias("label"))
-        if changed == 0:
-            break
-        labels = labels.localCheckpoint()  # truncate the iterative lineage
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+    stars = e.select(F.col("u").alias("doc_id"), F.col("v").alias("component"))
+    return all_nodes.join(stars, "doc_id", "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("component")
+    )
 
 
 def simhash_pairs(

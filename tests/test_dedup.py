@@ -151,3 +151,19 @@ def test_simhash_pairs_pigeonhole_completeness(spark):
     assert (1, 5) not in got  # hamming 4: correctly excluded
     assert got[(2, 3)] == 2  # flips overlap: 0b1 vs 0b111
     assert all(h <= 3 for h in got.values())
+
+
+def test_connected_components_chain_logarithmic_rounds(spark):
+    """A planted 50-link chain must converge within max_iter=8
+    large/small-star rounds (~log^2, Kiveris et al.) — plain min-label
+    propagation would need ~49 rounds and return WRONG labels here."""
+    from gtfs_osm_sync_spark.operators.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(1000, 1050)]
+    pairs = spark.createDataFrame(edges, "id_a int, id_b int")
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(pairs, max_iter=8).collect()
+    }
+    assert len(got) == 51
+    assert set(got.values()) == {1000}
