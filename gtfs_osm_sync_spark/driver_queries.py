@@ -1393,7 +1393,9 @@ def g05(spark, sf_dir):
 @register("g06_lsh_ann_recall", None)
 def g06(spark, sf_dir):
     """Sign-LSH bucketed ANN vs brute force: recall@5 (the scale path's
-    quality metric)."""
+    quality metric). passes_floor rides in the result so an ANN-quality
+    regression trips the driver gate, not just pytest (floor mirrors
+    tests/test_similarity.py::test_lsh_recall_reasonable)."""
     from .operators.similarity import brute_force_topk, lsh_topk
 
     (emb,) = load(spark, sf_dir, "embeddings")
@@ -1402,9 +1404,10 @@ def g06(spark, sf_dir):
     approx = lsh_topk(q, emb, k=5, n_bits=4).select("q_id", "n_id")
     hit = exact.join(approx, ["q_id", "n_id"], "left_semi").count()
     total = exact.count()
+    rec = hit / max(total, 1)
     return spark.createDataFrame(
-        [(total, hit, round(hit / max(total, 1), 4))],
-        "n_exact bigint, n_hit bigint, recall_at_5 double",
+        [(total, hit, round(rec, 4), bool(rec > 0.05))],
+        "n_exact bigint, n_hit bigint, recall_at_5 double, passes_floor boolean",
     )
 
 
@@ -1602,12 +1605,19 @@ def g07(spark, sf_dir):
     assigned = ivf_assign(emb, cents)
     rows = []
     n_exact = exact.count()
+    prev = 0.0
     for nprobe in (1, 4, 8):
         ap = ivf_topk(q, assigned, cents, k=5, nprobe=nprobe).select("q_id", "n_id")
         hit = exact.join(ap, ["q_id", "n_id"], "left_semi").count()
-        rows.append((nprobe, n_exact, hit, round(hit / max(n_exact, 1), 4)))
+        rec = hit / max(n_exact, 1)
+        # floors (mirroring test_ivf_recall_monotone_in_nprobe): recall
+        # monotone in nprobe, non-zero, and nprobe=all-lists exhaustive
+        ok = rec >= prev - 1e-9 and rec > 0.0 and (nprobe != 8 or hit == n_exact)
+        prev = rec
+        rows.append((nprobe, n_exact, hit, round(rec, 4), bool(ok)))
     return spark.createDataFrame(
-        rows, "nprobe int, n_exact bigint, n_hit bigint, recall_at_5 double"
+        rows,
+        "nprobe int, n_exact bigint, n_hit bigint, recall_at_5 double, passes_floor boolean",
     )
 
 
@@ -1956,13 +1966,25 @@ def d10(spark, sf_dir):
     return DD.jaccard_pairs(docs, None, threshold=0.5, df_cap=8)
 
 
-@register("g09_compare_world", None)
+@register(
+    "g09_compare_world",
+    """
+    SELECT category, CAST(n_stops AS BIGINT) AS n_stops FROM (VALUES
+      ('MODIFY', 800),
+      ('NOTHING_NEW', 400),
+      ('UPLOAD_CONFLICT', 500),
+      ('UPLOAD_NO_CONFLICT', 300)
+    ) AS t(category, n_stops) ORDER BY category
+    """,
+)
 def g09(spark, sf_dir):
     """The reference's core compare task on the synthetic compare world
     (all five category modes planted + operator-gate chaff; categories
     brute-force-verified against exact numpy Vincenty in
     tests/test_compare_world.py). Returns the category histogram —
-    deterministic for a fixed sf."""
+    deterministic for a fixed sf, so the oracle is the literal histogram
+    pinned at the driver gate's sf=0.01 (n=2000) scale; a semantics
+    drift in ANY compare branch flips the hash."""
     from . import synth
     from .operators.compare import compare_stops
 

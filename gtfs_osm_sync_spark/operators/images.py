@@ -51,18 +51,24 @@ def decode_stats(images: DataFrame, check_against_phash: bool = True) -> DataFra
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                img = decode_image(row["bytes"], row["fmt"])
+            has_phash = check_against_phash and "phash" in pdf.columns
+            phashes = pdf["phash"].to_numpy() if has_phash else None
+            # zip over raw columns, not iterrows: Series construction per
+            # row costs more than the decode on small payloads
+            for i, (image_id, data, fmt) in enumerate(
+                zip(pdf["image_id"], pdf["bytes"], pdf["fmt"])
+            ):
+                img = decode_image(data, fmt)
                 p = float("nan")
-                if check_against_phash and "phash" in pdf.columns:
+                if has_phash:
                     orig = pixels_for(
-                        int(np.uint64(np.int64(row["phash"]))), img.shape[0], img.shape[1]
+                        int(np.uint64(np.int64(phashes[i]))), img.shape[0], img.shape[1]
                     )
                     p = psnr(orig, img)
                 means = img.reshape(-1, 3).mean(axis=0)
                 out.append(
                     (
-                        row["image_id"],
+                        image_id,
                         img.shape[0],
                         img.shape[1],
                         round(float(means[0]), 4),
@@ -105,8 +111,8 @@ def assemble_mosaic_pdf(
     n = len(pdf)
     grid = max(int(math.ceil(math.sqrt(n))), 1)
     canvas = np.zeros((grid * cell_px, grid * cell_px, 3), dtype=np.uint8)
-    for i, (_, row) in enumerate(pdf.iterrows()):
-        img = decode_image(row["bytes"], row["fmt"])
+    for i, (data, fmt) in enumerate(zip(pdf["bytes"], pdf["fmt"])):
+        img = decode_image(data, fmt)
         hh = min(img.shape[0], cell_px)
         ww = min(img.shape[1], cell_px)
         r, c = divmod(i, grid)

@@ -84,14 +84,15 @@ def audio_features(media: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                x = decode_audio(
-                    row["bytes"], row["codec"], int(row["sample_rate"]), int(row["n_samples"])
-                )
+            # zip over raw columns, not iterrows (no per-row Series)
+            for media_id, data, codec, sr, ns in zip(
+                pdf["media_id"], pdf["bytes"], pdf["codec"], pdf["sample_rate"], pdf["n_samples"]
+            ):
+                x = decode_audio(data, codec, int(sr), int(ns))
                 out.append(
                     (
-                        row["media_id"],
-                        round(len(x) / max(int(row["sample_rate"]), 1), 6),
+                        media_id,
+                        round(len(x) / max(int(sr), 1), 6),
                         round(float(np.sqrt(np.mean(x * x))), 6),
                         round(float(np.abs(x).max(initial=0.0)), 6),
                         int(np.count_nonzero(np.diff(np.signbit(x)))),
@@ -126,16 +127,16 @@ def sample_frames(media: DataFrame, every_n: int = 10, max_frames: int = 8) -> D
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                idxs = list(range(0, int(row["n_frames"]), max(every_n, 1)))[:max_frames]
+            for media_id, data, codec, n_frames, h, w in zip(
+                pdf["media_id"], pdf["bytes"], pdf["codec"], pdf["n_frames"], pdf["h"], pdf["w"]
+            ):
+                idxs = list(range(0, int(n_frames), max(every_n, 1)))[:max_frames]
                 for i in idxs:
-                    fr = decode_video_frame(
-                        row["bytes"], row["codec"], i, int(row["h"]), int(row["w"])
-                    )
+                    fr = decode_video_frame(data, codec, i, int(h), int(w))
                     m = fr.reshape(-1, 3).mean(axis=0)
                     out.append(
                         (
-                            row["media_id"], i, fr.shape[0], fr.shape[1],
+                            media_id, i, fr.shape[0], fr.shape[1],
                             round(float(m[0]), 4), round(float(m[1]), 4), round(float(m[2]), 4),
                         )
                     )

@@ -6,11 +6,19 @@ Here the same data lands as DataFrames:
 
 - `read_osm_xml`: ONE streaming parse per file into a unified
   element frame (elem_type + nullable per-type fields). Files fan out
-  across tasks (OSM extracts ship as many regional files; planet-scale
-  inputs are pre-split the same way), and each file parses in O(1)
-  memory via ElementTree.iterparse + elem.clear(). Parse once, filter
-  many: nodes/ways/relations are column-pruned FILTERS over the parsed
-  frame, not re-parses.
+  across tasks, and each file parses in O(1) memory via
+  ElementTree.iterparse + elem.clear() + root child pruning (clearing
+  alone leaves one empty shell per element under the root). Parse once,
+  filter many: nodes/ways/relations are column-pruned FILTERS over the
+  parsed frame, not re-parses.
+- `split_bytes=N` fans ONE large file out across ceil(size/N) tasks by
+  byte range: each task scans forward to the first top-level element
+  boundary (`<node`/`<way`/`<relation` + delimiter — attribute values
+  XML-escape '<', so a raw byte scan cannot false-positive) at/after
+  its range start and parses elements starting before the next chunk's
+  boundary. Chunk peak memory = O(split_bytes). `elem_idx` under split
+  is byte-offset-based: order-consistent with document order (what
+  doc_order consumers need), not dense.
 - `ways_with_geo`: way lat/lon = the first <nd>'s node coordinates
   (J10; BusStopParser.java:62-66,116-133 wayNodeMap/endDocument) — a
   hash equi-join on the first nd ref, not a lookup loop.
@@ -72,12 +80,18 @@ OSM_ELEMENT_SCHEMA = T.StructType(
 _TOP = ("node", "way", "relation")
 
 
-def _parse_one(path: str, file_idx: int) -> Iterator[tuple]:
-    """Stream one OSM XML file; yields unified element tuples in document
-    order. iterparse end-events see complete children; clearing each
-    top-level element keeps memory flat regardless of file size."""
-    elem_idx = 0
-    for _, elem in ET.iterparse(path, events=("end",)):
+def _emit(source, file_idx: int, idx_of) -> Iterator[tuple]:
+    """Shared iterparse loop: yields unified element tuples in document
+    order. Each finished top-level element is cleared AND detached from
+    the root (clear() alone leaves an empty shell per element under the
+    root — O(#elements) growth on a planet-scale file)."""
+    root = None
+    local = 0
+    for event, elem in ET.iterparse(source, events=("start", "end")):
+        if event == "start":
+            if root is None:
+                root = elem
+            continue
         if elem.tag not in _TOP:
             continue
         a = elem.attrib
@@ -102,28 +116,124 @@ def _parse_one(path: str, file_idx: int) -> Iterator[tuple]:
             nds,
             members,
             file_idx,
-            elem_idx,
+            idx_of(local),
         )
-        elem_idx += 1
+        local += 1
         elem.clear()
+        if root is not None:
+            del root[:]  # at a top-level end no sibling is in progress
 
 
-def read_osm_xml(spark: SparkSession, paths: list[str] | str) -> DataFrame:
+def _parse_one(path: str, file_idx: int) -> Iterator[tuple]:
+    """Stream one whole OSM XML file in O(1) memory."""
+    return _emit(path, file_idx, lambda i: i)
+
+
+_BOUNDARY_TAGS = (b"<node", b"<way", b"<relation")
+_OVERLAP = 10  # > len('<relation') + 1 delimiter byte
+
+
+def _find_boundary(f, pos: int) -> int | None:
+    """First byte offset >= pos where a top-level element starts. A raw
+    byte scan is sound because '<' inside attribute values is always
+    XML-escaped; child tags (<tag/<nd/<member) share no prefix with the
+    top-level names once the delimiter byte is checked."""
+    f.seek(pos)
+    tail = b""
+    base = pos
+    while True:
+        block = f.read(1 << 20)
+        buf = tail + block
+        eof = not block
+        limit = len(buf) if eof else len(buf) - _OVERLAP
+        best = None
+        for t in _BOUNDARY_TAGS:
+            i = 0
+            while True:
+                j = buf.find(t, i)
+                if j < 0 or j >= limit:
+                    break
+                nxt = buf[j + len(t) : j + len(t) + 1]
+                if nxt == b"" or nxt in b" \t\r\n>/":
+                    if best is None or j < best:
+                        best = j
+                    break
+                i = j + 1
+        if best is not None:
+            return base + best
+        if eof:
+            return None
+        keep = min(len(buf), _OVERLAP)
+        tail = buf[len(buf) - keep :]
+        base += len(buf) - keep
+
+
+def _parse_range(path: str, file_idx: int, start: int, end: int) -> Iterator[tuple]:
+    """Parse the top-level elements whose start boundary falls in
+    [start, end): scan to the first boundary at/after start, slice up to
+    the first boundary at/after end (elements are complete by
+    construction — the next boundary is the next element's start), wrap
+    in a synthetic <osm> root. Peak memory = the chunk slice."""
+    import io
+    import os
+
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        b0 = _find_boundary(f, start)
+        if b0 is None or b0 >= end:
+            return
+        b1 = _find_boundary(f, end) if end < size else None
+        f.seek(b0)
+        data = f.read((b1 if b1 is not None else size) - b0)
+    if b1 is None:
+        k = data.rfind(b"</osm>")
+        if k >= 0:
+            data = data[:k]
+    src = io.BytesIO(b"<osm>" + data + b"</osm>")
+    # byte-offset-based elem_idx: strictly increasing across chunks
+    # (local count can never reach the next chunk's start offset — every
+    # element is > 1 byte), dense within none
+    yield from _emit(src, file_idx, lambda i: b0 + i)
+
+
+def read_osm_xml(
+    spark: SparkSession, paths: list[str] | str, split_bytes: int | None = None
+) -> DataFrame:
     """Parse OSM XML file(s) into the unified element frame.
 
-    One task per file; each file streams. Filter with osm_nodes /
-    osm_ways / osm_relations (plan-time projections, no re-parse)."""
+    Default: one streaming task per file (regional extracts ship as many
+    files). split_bytes=N additionally fans each file over
+    ceil(size/N) byte-range tasks so ONE planet-scale .osm file still
+    parallelizes — pass ~64-256 MB. Sizes are taken driver-side
+    (os.path.getsize); on an object store, list sizes there instead.
+    Filter with osm_nodes / osm_ways / osm_relations (plan-time
+    projections, no re-parse)."""
+    import os
+
     if isinstance(paths, str):
         paths = [paths]
+    if split_bytes:
+        tasks = []
+        for i, p in enumerate(paths):
+            size = os.path.getsize(p)
+            for s in range(0, max(size, 1), split_bytes):
+                tasks.append((p, i, s, min(s + split_bytes, size)))
+    else:
+        tasks = [(p, i, 0, -1) for i, p in enumerate(paths)]
     files = spark.createDataFrame(
-        [(p, i) for i, p in enumerate(paths)], "path string, file_idx int"
-    ).repartition(max(len(paths), 1))
+        tasks, "path string, file_idx int, start long, end long"
+    ).repartition(max(len(tasks), 1))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in OSM_ELEMENT_SCHEMA]
         for pdf in batches:
-            for _, row in pdf.iterrows():
-                rows = list(_parse_one(row["path"], int(row["file_idx"])))
+            for row in pdf.itertuples(index=False):
+                if row.end < 0:
+                    rows = list(_parse_one(row.path, int(row.file_idx)))
+                else:
+                    rows = list(
+                        _parse_range(row.path, int(row.file_idx), int(row.start), int(row.end))
+                    )
                 if rows:
                     yield pd.DataFrame(rows, columns=cols)
 

@@ -19,7 +19,30 @@ proprietary code):
 
 On a real cluster this class is replaced by `df.writeTo(tbl).append()`
 on an Iceberg catalog; the engine call sites only use the four methods
-above, so the swap is local to this file.
+above, so the swap is local to this file. Mechanism-by-mechanism, the
+deliberate seam is:
+
+  SnapTable mechanism                Iceberg equivalent
+  ---------------------------------  ----------------------------------
+  data-files-then-manifest write     manifest / manifest-list write
+  `_current` pointer os.replace      catalog atomic swap of
+                                       metadata.json pointer
+                                       (TableMetadata commit)
+  manifest lists FULL file set       snapshot = full manifest list
+                                       (no log replay needed)
+  checkpoint ledger rows in          snapshot summary properties /
+    the manifest                       commit metadata riding the same
+                                       atomic commit
+  snapshots()                        table.snapshots metadata table
+  rollback(version)                  rollback_to_snapshot(id)
+  time_travel(version)               VERSION AS OF / snapshot-id read
+  orphan files from killed writer    uncommitted data files, removed
+                                       by remove_orphan_files
+
+What is intentionally NOT reproduced (unneeded by the engine's call
+sites): hidden partition transforms, schema evolution, position/equality
+delete files, and compaction — on Iceberg those come for free after the
+swap.
 """
 
 from __future__ import annotations

@@ -120,15 +120,28 @@ def first_k_per_key(
     stream_df: DataFrame,
     key_col: str = "user_id",
     k: int = 2,
+    order_col: str | None = None,
 ):
     """Custom stateful operator the built-ins can't express: keep only the
     FIRST k events per key ACROSS micro-batches (dropDuplicates keeps 1;
     limits aren't keyed). applyInPandasWithState holds one counter per
     key in the state store; each batch emits that key's remaining quota.
 
+    Ordering caveat: WITHOUT order_col, "first" means arrival order,
+    which for file/replayed sources is whatever intra-batch row order
+    Spark produces — NOT a contract (fine for sampling-k semantics,
+    wrong for earliest-k). Pass order_col (e.g. the event-time column)
+    to make it deterministic WITHIN each micro-batch: the batch's rows
+    sort by (order_col) before the quota is applied. Cross-batch order
+    is already fixed by batch sequence; late rows in a later batch still
+    lose — that is the streaming contract (use a watermarked window agg
+    for full event-time ordering).
+
     Scale: state is O(distinct keys) x one long; rows stream through
-    Arrow in per-key batches. The state store checkpoints with the query,
-    so restarts resume the quota exactly (test pins this).
+    Arrow in per-key batches; the per-batch sort is per-key in-memory
+    pandas (bounded by the key's batch slice, not the stream).
+    The state store checkpoints with the query, so restarts resume the
+    quota exactly (test pins this).
     """
     import pandas as pd
     from pyspark.sql import types as T
@@ -139,14 +152,20 @@ def first_k_per_key(
 
     def fn(key, pdfs, state: GroupState):
         (n_seen,) = state.get if state.exists else (0,)
+        chunks = []
         for pdf in pdfs:
-            if n_seen >= k:
+            if order_col is None and n_seen + sum(len(c) for c in chunks) >= k:
                 n_seen += len(pdf)
                 continue
-            take = min(k - n_seen, len(pdf))
-            n_seen += len(pdf)
+            chunks.append(pdf)
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+            if order_col is not None:
+                batch = batch.sort_values(order_col, kind="mergesort", ignore_index=True)
+            take = max(min(k - n_seen, len(batch)), 0)
+            n_seen += len(batch)
             if take > 0:
-                yield pdf.iloc[:take]
+                yield batch.iloc[:take]
         state.update((n_seen,))
 
     return stream_df.groupBy(key_col).applyInPandasWithState(

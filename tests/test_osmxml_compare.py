@@ -245,3 +245,27 @@ def test_export_osm_value_variants(hart_export):
         e = exported[r["gtfs_id"]]
         assert float(e["stop_lat"]) == r["final_lat"]
         assert float(e["stop_lon"]) == r["final_lon"]
+
+
+def test_split_parse_matches_single_task(spark):
+    """Byte-range split of ONE .osm file across multiple tasks yields the
+    same elements in the same document order as the single-task parse
+    (elem_idx is byte-offset-based under split: order-consistent, not
+    dense)."""
+    import os
+
+    p = f"{REF}/DataFromServer.osm"
+    size = os.path.getsize(p)
+    whole = osmxml.read_osm_xml(spark, p)
+    split = osmxml.read_osm_xml(spark, p, split_bytes=size // 4 + 1)
+    # >= 2 real tasks actually produced rows
+    n_chunks = (
+        split.select((F.col("elem_idx") / F.lit(size // 4 + 1)).cast("int").alias("c"))
+        .distinct()
+        .count()
+    )
+    assert n_chunks >= 2
+    cols = [c for c in whole.columns if c != "elem_idx"]
+    a = [tuple(r) for r in whole.orderBy("elem_idx").select(*cols).collect()]
+    b = [tuple(r) for r in split.orderBy("elem_idx").select(*cols).collect()]
+    assert len(a) == len(b) and a == b

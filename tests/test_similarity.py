@@ -88,3 +88,14 @@ def test_kmeans_ivf_training(spark, emb):
     r_trained = _recall(exact, SIM.ivf_topk(q, trained_assigned, trained, k=5, nprobe=2))
     base_assigned.unpersist(); trained_assigned.unpersist()
     assert r_trained + 1e-9 >= r_base
+
+
+def test_driver_recall_queries_pass_floor(spark):
+    """g06/g07 carry their recall floors in-plan (passes_floor) so the
+    driver gate sees ANN-quality regressions, not just pytest."""
+    from gtfs_osm_sync_spark.driver_queries import QUERIES
+
+    g06 = QUERIES["g06_lsh_ann_recall"](spark, "/root/testdata/sf0.001").collect()
+    assert all(r["passes_floor"] for r in g06)
+    g07 = QUERIES["g07_ivf_ann_recall"](spark, "/root/testdata/sf0.001").collect()
+    assert all(r["passes_floor"] for r in g07)

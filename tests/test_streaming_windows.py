@@ -174,3 +174,41 @@ def test_first_k_per_key_stateful_across_restart(spark, tmp_path):
     assert len(by_user[1]) == 2 and by_user[1][0] == 10
     assert len(by_user[2]) == 2 and set(by_user[2]) <= {20, 21, 22}
     assert (2, 23) not in emitted  # quota exhausted in run 1
+
+
+def test_first_k_per_key_order_col_deterministic(spark, tmp_path):
+    """With order_col, 'first k' means smallest-k by that column within
+    the batch, independent of file/row arrival order (without it, intra-
+    batch order is whatever the source produced — not a contract)."""
+    from gtfs_osm_sync_spark.streaming.windows import first_k_per_key
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+        ]
+    )
+    src = str(tmp_path / "fko_src")
+    ckpt = str(tmp_path / "fko_ckpt")
+    out: list = []
+    # deliberately shuffled event order, split across two files
+    spark.createDataFrame([(1, 94), (1, 12), (2, 55)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame([(1, 3), (1, 41), (2, 7)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = (
+        first_k_per_key(
+            spark.readStream.schema(schema).parquet(src), k=2, order_col="event_id"
+        )
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda bdf, bid: out.append(sorted(map(tuple, bdf.collect()))))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = sorted(r for batch in out for r in batch)
+    # both files land in one availableNow batch -> smallest two event_ids per key
+    assert emitted == [(1, 3), (1, 12), (2, 7), (2, 55)]
