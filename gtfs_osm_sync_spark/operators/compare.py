@@ -29,7 +29,11 @@ Reference semantics (task/CompareData.java:1000-1290):
   as a duplicate. The reference's parallelStream makes the id-match vs
   adoption race order-dependent when both exist for one stop; here the
   id match deterministically wins and adoption applies only to stops
-  with no id match anywhere.
+  with no id match anywhere, and only from FOREIGN nodes (id absent /
+  'missing' / unknown to the feed) — a node carrying ANOTHER stop's
+  valid id adopting depends on the reference's scan order (its inner
+  loop breaks at whichever stop comes first); we pin the id-match-wins
+  resolution, which also keeps the probe's streaming side foreign-only.
 - node-side redundancy modifies (CompareData.java:1172-1210): each
   id-LESS node (gtfs_id tag absent or 'missing', no FIXME tag) that sits
   within (0.5 m, 400 m) of an unmatched stop itself enters the modify
@@ -158,23 +162,21 @@ def _gated_nodes(
 
 
 def _probe_pairs(g: DataFrame, n: DataFrame, unmatched: DataFrame, radius_m: float, b):
-    """Cell-prejoin radius join between the UNMATCHED stops and the gated
-    node layer: ring-exploded stop side (bounded — a transit feed),
-    streaming node side, haversine codegen prefilter, exact Vincenty on
-    survivors. Returns pairs with dist_m < radius_m plus `is_foreign`
-    (node gtfs_id known to NO stop in the feed — the UPLOAD_CONFLICT
-    gate, CompareData.java:1216-1222). Pairs where the ids match cannot
-    occur (they'd be id matches, and the stop side is unmatched)."""
-    gids = (
-        g.select(F.col("gtfs_id").alias("osm_gtfs_id"))
-        .distinct()
-        .withColumn("_known", F.lit(True))
-    )
-    fn = (
-        n.join(b(gids), "osm_gtfs_id", "left")
-        .withColumn("is_foreign", F.col("_known").isNull())
-        .drop("_known")
-    )
+    """Cell-prejoin radius join between the UNMATCHED stops and the
+    FOREIGN nodes (gtfs_id absent / 'missing' / known to NO stop in the
+    feed — the UPLOAD_CONFLICT gate, CompareData.java:1216-1222, and the
+    only nodes that can source a node-side modify): ring-exploded stop
+    side (bounded — a transit feed), streaming node side, haversine
+    codegen prefilter, exact Vincenty on survivors. Returns pairs with
+    dist_m < radius_m.
+
+    The anti-join prefilter matters at scale: in a synced region most
+    nodes carry valid ids, so probing ALL gated nodes quadruples the
+    streaming side (measured: compare phase 134.9 s -> 196.3 s at 4M
+    stops/2 cores) to serve only the order-ambiguous adopt-across-ids
+    corner — see compare_stops' adoption note."""
+    gids = g.select(F.col("gtfs_id").alias("osm_gtfs_id")).distinct()
+    fn = n.join(b(gids), "osm_gtfs_id", "left_anti")
     hexc = make_hex_cell_udf(HEX_RES)
     ring = make_hex_ring_adaptive_udf(radius_m, HEX_RES)
     u = unmatched.withColumn("_c", hexc("lat", "lon")).withColumn(
@@ -224,7 +226,11 @@ def compare_stops(
     finalStops default-value rules.
     """
     g = gtfs_tag_map(gtfs, network_key)
-    b = F.broadcast if broadcast_stops else (lambda df: df)
+    # shuffle path: HINT every build side to shuffled-hash — Catalyst's
+    # static size estimates under filter/explode chains otherwise pick
+    # BroadcastHashJoin and try to broadcast a multi-GiB side at 10^6+
+    # stops (observed: 10 GiB broadcast attempt at 4M stops)
+    b = F.broadcast if broadcast_stops else (lambda df: df.hint("shuffle_hash"))
     n = _gated_nodes(nodes, agency_names, id_digits, network_key, alias_regexes)
 
     # ---- id matches: hash equi-join on the padded id, exact Vincenty gate
@@ -312,9 +318,7 @@ def compare_stops(
     # REST of the unmatched stops can conflict (CompareData.java:1060).
     rest = unmatched.join(b(adopted.select("gtfs_id")), "gtfs_id", "left_anti")
     conflict_ids = b(
-        pairs.filter((F.col("dist_m") > ERROR_TO_ZERO_M) & F.col("is_foreign"))
-        .select("gtfs_id")
-        .distinct()
+        pairs.filter(F.col("dist_m") > ERROR_TO_ZERO_M).select("gtfs_id").distinct()
     )
 
     conflicts = (
@@ -390,7 +394,11 @@ def redundant_node_modifies(
     skips nodes already queued for modification.
     """
     g = gtfs_tag_map(gtfs, network_key)
-    b = F.broadcast if broadcast_stops else (lambda df: df)
+    # shuffle path: HINT every build side to shuffled-hash — Catalyst's
+    # static size estimates under filter/explode chains otherwise pick
+    # BroadcastHashJoin and try to broadcast a multi-GiB side at 10^6+
+    # stops (observed: 10 GiB broadcast attempt at 4M stops)
+    b = F.broadcast if broadcast_stops else (lambda df: df.hint("shuffle_hash"))
     n = _gated_nodes(nodes, agency_names, id_digits, network_key, alias_regexes)
 
     matched_ids = (

@@ -316,3 +316,20 @@ def test_operator_gate_regex_alias(spark):
         stops, nodes, [synth.COMPARE_AGENCY], id_digits=7, alias_regexes=[r"xyz"]
     ).collect()[0]
     assert partial["category"] == "UPLOAD_NO_CONFLICT"
+
+
+def test_shuffle_path_has_no_broadcast_and_matches(spark):
+    """broadcast_stops=False must NEVER broadcast (Catalyst's static
+    estimates under filter/explode chains otherwise picked BHJ and tried
+    to broadcast a 10 GiB side at 4M stops): every join shuffled-hash,
+    output identical to the broadcast path."""
+    stops, nodes = synth.generate_compare_world(spark, 500, partitions=2)
+    kw = dict(agency_names=[synth.COMPARE_AGENCY], id_digits=synth._CMP_DIGITS)
+    sh = C.compare_stops(stops, nodes, broadcast_stops=False, **kw)
+    plan = sh._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    bc = C.compare_stops(stops, nodes, broadcast_stops=True, **kw)
+    a = sorted(map(tuple, sh.select("gtfs_id", "category", "osm_id").collect()))
+    b = sorted(map(tuple, bc.select("gtfs_id", "category", "osm_id").collect()))
+    assert a == b

@@ -11,9 +11,18 @@ not the engine (on a real cluster 4N executors bring 4x hosts — memory
 bandwidth scales with N, unlike cores on one box).
 
 Phases measured end to end, each in its own JVM per level:
-  ingest — synthesize payloads + fused geotag -> write the images table
-  assign — the flagship radius join + kNN/category agg (shuffle-join path)
-  mosaic — decode + per-cell stitch (applyInPandas, python-CPU-bound)
+  ingest  — synthesize payloads + fused geotag -> write the images table
+  assign  — the flagship radius join + kNN/category agg (shuffle-join path)
+  mosaic  — decode + per-cell stitch (applyInPandas, python-CPU-bound)
+  compare — the REFERENCE'S core task: stop-vs-node categorize + tag
+            merge on the synthetic compare world (shuffle path)
+
+EVERY run appends its raw JSON to BENCH/runs.jsonl (committed), and
+BENCH/BASELINE.md is REGENERATED from the full ledger: per-run
+efficiencies, the per-phase MEDIAN (the defensible statistic — the
+host's effective clock drifts several percent between runs; round-2
+measured the same build at 0.59-0.94 ingest efficiency across a day),
+and pooled best-per-level throughputs.
 
 Config notes baked in (each was measured, see git history):
   - parquet uncompressed + 8MB row groups + no dictionary for the binary
@@ -26,22 +35,27 @@ Config notes baked in (each was measured, see git history):
     parallelism unit, nested pools oversubscribe);
   - all staging on tmpfs; worlds generated density-constant
     (spread_scale = sqrt(n/500k)) — with a fixed-size world the
-    radius-join pair count grows quadratically in n.
+    radius-join pair count grows quadratically in n;
+  - compare world at 4M stops: strong scaling needs enough work (at 1M
+    the 8-core level runs ~13 s and fixed costs cap efficiency at ~0.69).
 
-Writes BENCH/BASELINE.md and prints one JSON line.
-
-Usage: python tools/bench_scaling.py [n_images] [cpus_low] [cpus_high]
+Usage:
+  python tools/bench_scaling.py [n_images] [cpus_low] [cpus_high] [n_stops]
+  python tools/bench_scaling.py --regen     # rebuild the md from the ledger
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LEDGER = os.path.join(REPO, "BENCH", "runs.jsonl")
+PHASES = ("ingest", "assign", "mosaic", "compare")
 
 _CHILD = r"""
 import json, math, os, shutil, sys, time
@@ -50,10 +64,12 @@ from gtfs_osm_sync_spark.session import get_spark
 from gtfs_osm_sync_spark import synth
 from gtfs_osm_sync_spark.pipeline import assign_images
 from gtfs_osm_sync_spark.operators.images import mosaic_by_cell
+from gtfs_osm_sync_spark.operators.compare import compare_stops
 import pyspark.sql.functions as F
 
 cpus = {cpus}
 n = {n_images}
+n_stops = {n_stops}
 phase = {phase!r}
 scale = math.sqrt(max(n / 500_000, 1.0))
 stage = {stage_dir!r}
@@ -97,7 +113,7 @@ if phase == "assign":
                assign_images_per_sec=round(n / t_assign, 1))
 
 if phase == "ingest":
-    # payload synthesis + fused geotag + table write; best of 2
+    # payload synthesis + fused geotag + table write; best of 3
     n_ing = max(n // 6, 10000)
     t_ingest = float("inf")
     for _ in range(3):
@@ -116,7 +132,6 @@ if phase == "mosaic":
     # python-row-bound: AQE coalescing off for this stage
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     n_mos = max(n // 16, 10000)
-    n_ing = max(n // 6, 10000)
     (synth.generate_images_geo(spark, n_mos, partitions=cpus * 8,
                                spread_scale=scale)
      .write.mode("overwrite")
@@ -133,6 +148,30 @@ if phase == "mosaic":
                mosaic_images_per_sec=round(n_mos / t_mosaic, 1),
                n_mosaic_cells=n_cells)
 
+if phase == "compare":
+    # the reference's core task on the pre-staged compare world; the
+    # shuffle path (broadcast_stops=False) — a 4M-stop layer outgrows a
+    # sensible broadcast and must scale on its shuffle keys
+    stops = spark.read.parquet(stage + "/stops")
+    nodes = spark.read.parquet(stage + "/nodes")
+
+    def run_cmp(s):
+        cmp = compare_stops(s, nodes, agency_names=[synth.COMPARE_AGENCY],
+                            id_digits=synth._CMP_DIGITS, broadcast_stops=False)
+        return cmp.agg(F.sum(F.hash("gtfs_id", "category", "osm_id")),
+                       F.count("*")).collect()[0]
+
+    run_cmp(stops.where("gtfs_id < '0040000'"))  # warm-up slice (filter, not limit)
+    t_cmp = float("inf")
+    rows = 0
+    for _ in range(2):
+        t3 = time.time()
+        row = run_cmp(stops)
+        rows = row[1]
+        t_cmp = min(t_cmp, time.time() - t3)
+    out.update(compare_n=n_stops, compare_rows=rows, compare_sec=round(t_cmp, 2),
+               compare_stops_per_sec=round(n_stops / t_cmp, 1))
+
 print("RESULT " + json.dumps(out))
 """
 
@@ -142,6 +181,7 @@ sys.path.insert(0, {repo!r})
 from gtfs_osm_sync_spark.session import get_spark
 from gtfs_osm_sync_spark import synth
 n = {n_images}
+n_stops = {n_stops}
 scale = math.sqrt(max(n / 500_000, 1.0))
 spark = get_spark(shuffle_partitions=64,
                   extra_conf={{"spark.local.dir": "/dev/shm/spark_stager"}})
@@ -149,11 +189,16 @@ spark = get_spark(shuffle_partitions=64,
  .write.mode("overwrite").parquet({stage_dir!r} + "/geo"))
 (synth.generate_features(spark, n, max(n // 100, 8), spread_scale=scale)
  .write.mode("overwrite").parquet({stage_dir!r} + "/feat"))
+cscale = math.sqrt(max(n_stops / 100_000, 1.0))
+stops, nodes = synth.generate_compare_world(spark, n_stops, spread_scale=cscale,
+                                            partitions=64)
+stops.write.mode("overwrite").parquet({stage_dir!r} + "/stops")
+nodes.write.mode("overwrite").parquet({stage_dir!r} + "/nodes")
 print("STAGED")
 """
 
 
-def _run(code: str, cpus: int | None, timeout: int = 1800) -> str:
+def _run(code: str, cpus: int | None, timeout: int = 2400) -> str:
     env = dict(os.environ)
     env.update(
         OMP_NUM_THREADS="1",
@@ -170,12 +215,12 @@ def _run(code: str, cpus: int | None, timeout: int = 1800) -> str:
     return out.stdout + ("" if out.returncode == 0 else "\nSTDERR:\n" + out.stderr[-3000:])
 
 
-def run_level(cpus: int, n_images: int, stage_dir: str) -> dict:
-    """Run the three phases, each in its own JVM, and merge the results."""
+def run_level(cpus: int, n_images: int, n_stops: int, stage_dir: str) -> dict:
+    """Run the four phases, each in its own JVM, and merge the results."""
     merged: dict = {}
-    for phase in ("assign", "ingest", "mosaic"):
+    for phase in PHASES:
         out = _run(
-            _CHILD.format(repo=REPO, cpus=cpus, n_images=n_images,
+            _CHILD.format(repo=REPO, cpus=cpus, n_images=n_images, n_stops=n_stops,
                           stage_dir=stage_dir, phase=phase),
             cpus,
         )
@@ -190,62 +235,108 @@ def run_level(cpus: int, n_images: int, stage_dir: str) -> dict:
     return merged
 
 
-def main() -> None:
-    n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 2_500_000
-    lo = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    hi = int(sys.argv[3]) if len(sys.argv) > 3 else 8
-    stage_dir = "/dev/shm/bench_scaling" if os.path.isdir("/dev/shm") else "/tmp/bench_scaling"
-    t0 = time.time()
-    out = _run(_STAGER.format(repo=REPO, n_images=n_images, stage_dir=stage_dir), None)
-    if "STAGED" not in out:
-        raise RuntimeError(f"staging failed:\n{out[-3000:]}")
-    try:
-        r_lo = run_level(lo, n_images, stage_dir)
-        r_hi = run_level(hi, n_images, stage_dir)
-    finally:
-        import shutil
+_TP_KEY = {
+    "ingest": "ingest_images_per_sec",
+    "assign": "assign_images_per_sec",
+    "mosaic": "mosaic_images_per_sec",
+    "compare": "compare_stops_per_sec",
+}
+_PHASE_DESC = {
+    "ingest": "synth + fused geotag + parquet write",
+    "assign": "hex-ring radius join + kNN/category agg",
+    "mosaic": "decode + per-cell stitch, applyInPandas",
+    "compare": "stop-vs-node categorize + tag merge (reference core task, shuffle path)",
+}
 
-        shutil.rmtree(stage_dir, ignore_errors=True)
-    ratio = hi / lo
 
-    def eff(key: str) -> float:
-        return round((r_hi[key] / r_lo[key]) / ratio, 3)
+def load_ledger() -> list[dict]:
+    runs = []
+    if os.path.exists(LEDGER):
+        with open(LEDGER) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    runs.append(json.loads(line))
+    return runs
 
-    eff_ingest = eff("ingest_images_per_sec")
-    eff_assign = eff("assign_images_per_sec")
-    eff_mosaic = eff("mosaic_images_per_sec")
-    result = {
-        "metric": "scaling efficiency (throughput_hi/throughput_lo)/(cpus_hi/cpus_lo)",
-        "n_images": n_images,
-        "low": r_lo,
-        "high": r_hi,
-        "scaling_efficiency_ingest": eff_ingest,
-        "scaling_efficiency_assign": eff_assign,
-        "scaling_efficiency_mosaic": eff_mosaic,
-        "wall_sec": round(time.time() - t0, 1),
-    }
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    md = f"""# BENCH/BASELINE — measured performance ({time.strftime('%Y-%m-%d')})
+
+def regen_md(lo: int = 2, hi: int = 8) -> None:
+    """Rebuild BENCH/BASELINE.md from the FULL ledger: one row per run,
+    per-phase medians, pooled best-per-level throughputs."""
+    runs = load_ledger()
+
+    def cell(r, p):
+        e = r.get("eff", {}).get(p)
+        return f"{e:.3f}" if e is not None else "—"
+
+    rows_md = []
+    for r in runs:
+        rows_md.append(
+            f"| {r['run']} | {r.get('ts', '?')[:16]} | {r.get('build', '?')} | "
+            + " | ".join(cell(r, p) for p in PHASES)
+            + f" | {r.get('note', '')} |"
+        )
+    med = {}
+    n_runs = {}
+    for p in PHASES:
+        vals = [r["eff"][p] for r in runs if r.get("eff", {}).get(p) is not None]
+        n_runs[p] = len(vals)
+        med[p] = round(statistics.median(vals), 3) if vals else None
+    best = {}
+    for p in PHASES:
+        k = _TP_KEY[p]
+        los = [r["low"][k] for r in runs if r.get("low") and k in r["low"]]
+        his = [r["high"][k] for r in runs if r.get("high") and k in r["high"]]
+        best[p] = (max(los) if los else None, max(his) if his else None)
+
+    med_rows = "\n".join(
+        f"| {p} | {_PHASE_DESC[p]} | {n_runs[p]} | **{med[p]}** | "
+        f"{best[p][0]:,.1f} | {best[p][1]:,.1f} |"
+        for p in PHASES
+        if med[p] is not None
+    )
+    all_pass = all(m is not None and m >= 0.8 for m in med.values())
+    ledger_txt = "\n".join(json.dumps(r) for r in runs)
+
+    md = f"""# BENCH/BASELINE — measured performance (regenerated {time.strftime('%Y-%m-%d %H:%M')} UTC)
 
 ## Scaling efficiency, N -> 4N (north_rule target >= 0.8)
 
 No real cluster in this sandbox (task brief): the same job runs at two
 taskset-pinned parallelism levels, {lo} and {hi} cores, on the same
 staged input — each PHASE in its own JVM (phases measured back-to-back in
-one JVM cost each other ~2x via heap/JIT pollution). Levels are kept <= 12 busy cores because this
-VM's measured per-core throughput degrades ~2x beyond that (0.38s/unit at
-1-12 busy cores -> 0.81s/unit at 32 busy; a single-box artifact — on a
-real cluster, 4N executors bring 4x hosts and memory bandwidth scales
-with N).
+one JVM cost each other ~2x via heap/JIT pollution). Levels are kept
+<= 12 busy cores because this VM's measured per-core throughput degrades
+~2x beyond that (0.38s/unit at 1-12 busy cores -> 0.81s/unit at 32 busy;
+a single-box artifact — on a real cluster, 4N executors bring 4x hosts
+and memory bandwidth scales with N).
 
-Flagship pipeline on a density-constant world of {n_images:,} images
-(spread_scale = sqrt(n/500k), urban-skewed, deterministic):
+The host's effective clock drifts several percent between runs (round-2
+measured the SAME build at 0.59-0.94 ingest efficiency across one day),
+so no single pairing is trustworthy: every run is recorded in
+BENCH/runs.jsonl and the statistic of record is the PER-PHASE MEDIAN
+across all runs of the current code family. Efficiency =
+(throughput_hi/throughput_lo)/({hi}/{lo}).
 
-| phase | what runs | {lo}-core img/s | {hi}-core img/s | efficiency |
-|---|---|---|---|---|
-| ingest | synth + fused geotag + parquet write ({r_lo['ingest_n']:,} imgs) | {r_lo['ingest_images_per_sec']:,} | {r_hi['ingest_images_per_sec']:,} | **{eff_ingest}** |
-| assign | hex-ring radius join + kNN/category agg ({n_images:,} rows) | {r_lo['assign_images_per_sec']:,} | {r_hi['assign_images_per_sec']:,} | **{eff_assign}** |
-| mosaic | decode + per-cell stitch, applyInPandas ({r_lo['mosaic_n']:,} imgs) | {r_lo['mosaic_images_per_sec']:,} | {r_hi['mosaic_images_per_sec']:,} | **{eff_mosaic}** |
+Worlds: flagship pipeline on a density-constant world of 2,500,000
+images (spread_scale = sqrt(n/500k), urban-skewed, deterministic);
+compare phase on a 4,000,000-stop compare world (~4.3M nodes, all five
+category modes planted; semantics brute-force-verified in
+tests/test_compare_world.py).
+
+### Every recorded run (efficiency per phase)
+
+| run | when (UTC) | build | ingest | assign | mosaic | compare | note |
+|---|---|---|---|---|---|---|---|
+{chr(10).join(rows_md)}
+
+### Medians + pooled best-per-level throughput
+
+| phase | what runs | n runs | median eff | best {lo}-core /s | best {hi}-core /s |
+|---|---|---|---|---|---|
+{med_rows}
+
+**{"All per-phase medians meet the >= 0.8 target." if all_pass else "NOT all medians meet 0.8 — see per-run table."}**
 
 ## Tuning that the measurements drove (all verified, see git history)
 
@@ -259,15 +350,20 @@ Flagship pipeline on a density-constant world of {n_images:,} images
 - single min(struct) aggregation instead of two windows for kNN+category
   (windowed plan recomputed the scan lineage per branch)
 - OMP/BLAS pinned to 1 thread in python workers
+- compare world sized to 4M stops: at 1M the 8-core level finishes in
+  ~13 s and fixed costs (scheduling, Python worker spin-up) cap
+  efficiency at ~0.69; 4M amortizes them
+- broadcasting a 1M-row stop side is SERIAL work: capped compare scaling
+  at 0.60 and ran 2.2x slower absolute than the shuffle-hash path
+  (hence broadcast_stops=False above broadcast scale)
 
 ## Reference comparison
 
 The reference (gtfs-osm-sync) computes an O(N*M) nested Vincenty loop on
 one JVM (CompareData.java:1016-1069) over 3,802 stops and publishes no
-numbers (BASELINE.md). This engine assigns {r_hi['assign_images_per_sec']:,.0f}
-images/sec to tiles + nearest features at {hi} cores — the per-image work
-is O(ring cells), independent of the feature count.
-
+numbers (BASELINE.md). At the compare phase's world size that would be
+~10^13 distance evaluations; the engine's hash-join plan categorizes
+4,000,000 stops against 4.3M nodes in ~42 s at 8 cores.
 
 ## Resumability evidence (north_rule)
 
@@ -283,15 +379,67 @@ is O(ring cells), independent of the feature count.
   comes from SnapTable's manifest-then-pointer commit: a killed writer
   leaves only orphan data files, never a partial snapshot.
 
-Raw JSON:
+## Raw JSON — the complete run ledger (same content as BENCH/runs.jsonl)
 
 ```json
-{json.dumps(result, indent=2)}
+{ledger_txt}
 ```
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
-    print(json.dumps(result))
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--regen":
+        regen_md()
+        print(json.dumps({"regen": True, "runs": len(load_ledger())}))
+        return
+    n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 2_500_000
+    lo = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    hi = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    n_stops = int(sys.argv[4]) if len(sys.argv) > 4 else 4_000_000
+    stage_dir = "/dev/shm/bench_scaling" if os.path.isdir("/dev/shm") else "/tmp/bench_scaling"
+    t0 = time.time()
+    out = _run(
+        _STAGER.format(repo=REPO, n_images=n_images, n_stops=n_stops, stage_dir=stage_dir),
+        None,
+    )
+    if "STAGED" not in out:
+        raise RuntimeError(f"staging failed:\n{out[-3000:]}")
+    try:
+        r_lo = run_level(lo, n_images, n_stops, stage_dir)
+        r_hi = run_level(hi, n_images, n_stops, stage_dir)
+    finally:
+        import shutil
+
+        shutil.rmtree(stage_dir, ignore_errors=True)
+    ratio = hi / lo
+    eff = {
+        p: round((r_hi[_TP_KEY[p]] / r_lo[_TP_KEY[p]]) / ratio, 3)
+        for p in PHASES
+        if _TP_KEY[p] in r_lo and _TP_KEY[p] in r_hi
+    }
+    build = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"], capture_output=True, text=True, cwd=REPO
+    ).stdout.strip()
+    runs = load_ledger()
+    rec = {
+        "run": f"run{len(runs) + 1}",
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "build": build,
+        "n_images": n_images,
+        "n_stops": n_stops,
+        "cpus": [lo, hi],
+        "low": r_lo,
+        "high": r_hi,
+        "eff": eff,
+        "wall_sec": round(time.time() - t0, 1),
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(LEDGER, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    regen_md(lo, hi)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
