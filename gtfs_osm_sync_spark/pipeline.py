@@ -185,3 +185,77 @@ def run_flagship(
         if fail_after_chunks is not None and len(ran) >= fail_after_chunks:
             raise InjectedFailure(f"injected failure after {len(ran)} chunks")
     return RunResult(run_id, ran, skipped, total_rows, versions)
+
+
+def stop_sync_document(
+    gtfs: DataFrame,
+    nodes: DataFrame,
+    agency_names: list[str],
+    id_digits: int = 4,
+    radius_m: float | None = None,
+    network_key: str = "operator",
+    changeset: str = "0",
+    capabilities_xml: str | None = None,
+    broadcast_stops: bool = True,
+    alias_regexes: list[str] | None = None,
+) -> str:
+    """The reference's full upload composition (task/UploadData.java:59-75:
+    checkVersion -> createChangeSet -> createChunks) as one call: compare
+    the feed against the node layer, then assemble the osmChange document
+    from the AUTO-UPLOAD sets --
+
+      <create>: UPLOAD_NO_CONFLICT stops (the `upload` set CompareData
+        hands to UploadData; conflict stops stay in the revise bucket
+        until a human resolves them, so they are NOT in the document);
+      <modify>: MODIFY stops (id-matched or same-location-adopted, merged
+        tags, node identity/location) UNION the node-side redundancy
+        modifies (id-less nodes near unmatched stops gaining FIXME/note,
+        CompareData.java:1172-1210).
+
+    capabilities_xml, when given, gates the build exactly like
+    HttpRequest.checkVersion (F18): an unsupported server version raises
+    before any work is planned. The document itself is bounded by the
+    sink's element guard (sources/sinks.py MAX_CHANGE_ELEMENTS).
+    """
+    from .operators.compare import compare_stops, redundant_node_modifies
+    from .sources.osmxml import api_version_supported
+    from .sources.sinks import osm_change_xml
+
+    if capabilities_xml is not None and not api_version_supported(capabilities_xml):
+        raise RuntimeError(
+            "OSM API version unsupported by this client (HttpRequest.checkVersion)"
+        )
+
+    kw = dict(
+        agency_names=agency_names,
+        id_digits=id_digits,
+        network_key=network_key,
+        broadcast_stops=broadcast_stops,
+        alias_regexes=alias_regexes,
+    )
+    if radius_m is not None:
+        kw["radius_m"] = radius_m
+    cmp = compare_stops(gtfs, nodes, **kw).cache()
+    try:
+        create = cmp.filter(F.col("category") == "UPLOAD_NO_CONFLICT").select(
+            "gtfs_id",
+            F.col("final_lat").alias("lat"),
+            F.col("final_lon").alias("lon"),
+            F.lit(None).cast("string").alias("version"),
+            F.col("merged_tags").alias("tags"),
+        )
+        stop_mods = cmp.filter(F.col("category") == "MODIFY").select(
+            "osm_id",
+            F.col("osm_version").alias("version"),
+            F.col("final_lat").alias("lat"),
+            F.col("final_lon").alias("lon"),
+            F.col("merged_tags").alias("tags"),
+        )
+        node_mods = redundant_node_modifies(gtfs, nodes, **kw).select(
+            "osm_id", "version", "lat", "lon", "tags"
+        )
+        return osm_change_xml(
+            create, stop_mods.unionByName(node_mods), None, changeset=changeset
+        )
+    finally:
+        cmp.unpersist()

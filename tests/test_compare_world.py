@@ -333,3 +333,46 @@ def test_shuffle_path_has_no_broadcast_and_matches(spark):
     a = sorted(map(tuple, sh.select("gtfs_id", "category", "osm_id").collect()))
     b = sorted(map(tuple, bc.select("gtfs_id", "category", "osm_id").collect()))
     assert a == b
+
+
+def test_stop_sync_document_composition(spark):
+    """Full upload composition (UploadData.java:59-75): create = clean
+    new stops only; modify = MODIFY stops UNION node-side redundancy
+    FIXMEs; conflict stops stay out of the document; an unsupported API
+    version aborts before any work (HttpRequest.checkVersion)."""
+    from gtfs_osm_sync_spark.pipeline import stop_sync_document
+
+    stops = _mk_stops(
+        spark,
+        [
+            ("0000001", 10.0, 20.0, "Clean"),      # nothing nearby -> create
+            ("0000002", 30.0, 40.0, "Matched"),    # id match ~110m -> modify
+            ("0000003", 50.0, 60.0, "Flagged"),    # id-less neighbor -> conflict + node FIXME
+        ],
+    )
+    nodes = _mk_nodes(
+        spark,
+        [
+            ("n2", 30.001, 40.0, {"gtfs_id": "2", "operator": synth.COMPARE_AGENCY, "name": "Old"}, 1),
+            ("n3", 50.001, 60.0, {"operator": synth.COMPARE_AGENCY, "name": "x"}, 2),
+        ],
+    )
+    xml = stop_sync_document(stops, nodes, [synth.COMPARE_AGENCY], id_digits=7, changeset="7")
+    # create: only the clean stop, negative temp id
+    create = xml.split("<create>")[1].split("</create>")[0]
+    assert 'id="-1"' in create and 'v="Clean"' in create
+    assert "Flagged" not in create  # conflict stop withheld for review
+    # modify: the id-matched stop (node identity) + the FIXME'd node
+    modify = xml.split("<modify>")[1].split("</modify>")[0]
+    assert 'id="n2"' in modify and 'v="Old"' in modify
+    assert 'id="n3"' in modify and C.FIXME_REDUNDANT in modify
+    assert "<delete>" not in xml
+
+    caps_bad = '<osm><api><version minimum="0.3" maximum="0.5"/></api></osm>'
+    with pytest.raises(RuntimeError, match="version"):
+        stop_sync_document(stops, nodes, [synth.COMPARE_AGENCY], capabilities_xml=caps_bad)
+    caps_ok = '<osm><api><version minimum="0.6" maximum="0.6"/></api></osm>'
+    xml2 = stop_sync_document(
+        stops, nodes, [synth.COMPARE_AGENCY], id_digits=7, capabilities_xml=caps_ok
+    )
+    assert "<create>" in xml2

