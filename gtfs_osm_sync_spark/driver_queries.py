@@ -2007,6 +2007,48 @@ def g09(spark, sf_dir):
 
 
 @register(
+    "g10_node_modifies",
+    """
+    SELECT version, CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(id_sum AS BIGINT) AS id_sum FROM (VALUES
+      ('1', 57, 56658),
+      ('2', 57, 57513),
+      ('3', 57, 56373),
+      ('4', 57, 57228),
+      ('5', 58, 58087),
+      ('6', 57, 56943),
+      ('7', 57, 57798)
+    ) AS t(version, n_nodes, id_sum) ORDER BY version
+    """,
+)
+def g10(spark, sf_dir):
+    """Node-side redundancy modifies (CompareData.java:1172-1210) on the
+    synthetic compare world: every id-less gated-in node within
+    (0.5 m, 400 m) of an unmatched stop gains FIXME/note and enters the
+    modify set. Deterministic at a fixed sf: exactly the mode-4 foreign
+    nodes fire (planted at 100 m from their conflict stops). The oracle
+    pins the per-version histogram PLUS a per-bucket sum of the numeric
+    node ids at the driver gate's sf=0.01 (n=2000) scale, so the check
+    is sensitive to the exact flagged id SET — a drift in the operator
+    gate, the FIXME skip, the distance band, or the adoption exclusion
+    changes some id_sum even if counts survive."""
+    from . import synth
+    from .operators.compare import redundant_node_modifies
+
+    n = max(_sf_n(sf_dir, per_unit=200_000), 2_000)
+    stops, nodes = synth.generate_compare_world(spark, n, partitions=8)
+    out = redundant_node_modifies(
+        stops, nodes, [synth.COMPARE_AGENCY], id_digits=synth._CMP_DIGITS
+    )
+    return (
+        out.withColumn("id_num", F.substring("osm_id", 2, 12).cast("long"))
+        .groupBy("version")
+        .agg(F.count("*").alias("n_nodes"), F.sum("id_num").alias("id_sum"))
+        .orderBy("version")
+    )
+
+
+@register(
     "d11_dup_components",
     f"""
     WITH RECURSIVE {_DOCS_AUG_SQL},
