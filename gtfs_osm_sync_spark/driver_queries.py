@@ -2049,6 +2049,56 @@ def g10(spark, sf_dir):
 
 
 @register(
+    "g11_phash_near_dup",
+    """
+    SELECT CAST(hamming AS INT) AS hamming, CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(id_sum AS BIGINT) AS id_sum
+    FROM (VALUES (2, 200, 398000)) AS t(hamming, n_pairs, id_sum)
+    ORDER BY hamming
+    """,
+)
+def g11(spark, sf_dir):
+    """Image-axis near-dup detection: perceptual-hash Hamming pairs over
+    the synthetic image world via the same pigeonhole banding engine as
+    d12 (simhash_pairs is signature-agnostic) — 64-bit phash, 4 x 16-bit
+    bands, max Hamming 3. Every image_id % 10 == 0 plants a mutated copy
+    (phash XOR 0b101 = 2 bit flips); random 64-bit phashes collide at
+    Hamming <= 3 with p ~ 2e-15, so the planted pairs are exactly the
+    result. The oracle pins the per-Hamming histogram plus the summed
+    numeric ids of both pair sides at sf=0.01 (n=2000) — sensitive to
+    the exact pair SET, the banding recall, and the popcount verify."""
+    from . import synth
+
+    n = _sf_n(sf_dir)
+    base = synth.generate_geo_only(spark, n).select(
+        "image_id", "phash", F.substring("image_id", 4, 12).cast("long").alias("_num")
+    )
+    dups = base.filter(F.col("_num") % 10 == 0).select(
+        F.format_string("dup%012d", F.col("_num")).alias("image_id"),
+        F.col("phash").bitwiseXOR(F.lit(5)).alias("phash"),
+        "_num",
+    )
+    pairs = DD.simhash_pairs(
+        base.unionByName(dups),
+        max_hamming=3,
+        id_col="image_id",
+        sig_col="phash",
+        n_bands=4,
+        band_bits=16,
+    )
+    return (
+        pairs.withColumn("_na", F.substring("id_a", 4, 12).cast("long"))
+        .withColumn("_nb", F.substring("id_b", 4, 12).cast("long"))
+        .groupBy("hamming")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.col("_na") + F.col("_nb")).alias("id_sum"),
+        )
+        .orderBy("hamming")
+    )
+
+
+@register(
     "d11_dup_components",
     f"""
     WITH RECURSIVE {_DOCS_AUG_SQL},
