@@ -1312,7 +1312,28 @@ def _sf_n(sf_dir: str, per_unit: int = 200_000, lo: int = 2_000) -> int:
     return max(int(per_unit * sf), lo)
 
 
-@register("g01_images_assign_categories", None)
+# ---------------------------------------------------------------------------
+# g-queries: engine-native ops with no ANSI-SQL formulation. Where the
+# output is a SMALL deterministic aggregate (histograms, parity counters)
+# the oracle is a literal-VALUES table pinned at the driver gate's
+# sf=0.01 scale — computed once from the engine, verified identical under
+# different core counts / shuffle-partition settings, and brute-force- or
+# golden-verified in pytest (numpy Vincenty, HART fixture, pixel
+# equality). The literal does not independently re-derive semantics (the
+# pytest oracles do); it makes ANY later drift in these operators flip
+# the driver's value-hash. Large-row-set g-queries (g02 kNN pairs,
+# g06/g07 ANN tables) stay rows-only with in-plan recall floors.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g01_images_assign_categories",
+    """
+    SELECT category, CAST(n AS BIGINT) AS n FROM (VALUES
+      ('MODIFY', 6), ('NOTHING_NEW', 14), ('UPLOAD_CONFLICT', 59),
+      ('UPLOAD_NO_CONFLICT', 1921)) AS t(category, n) ORDER BY category
+    """,
+)
 def g01(spark, sf_dir):
     """Flagship engine pipeline on the synthetic images world (north_rule):
     geotag -> hex ring join -> kNN + 4-way category; emits category counts."""
@@ -1346,7 +1367,15 @@ def g02(spark, sf_dir):
     )
 
 
-@register("g03_cell_index", None)
+@register(
+    "g03_cell_index",
+    """
+    SELECT CAST(n_images AS BIGINT) AS n_images, CAST(n_cells AS BIGINT) AS n_cells,
+           CAST(s2_cells AS BIGINT) AS s2_cells FROM (VALUES
+      (1, 1579, 1579), (2, 165, 249), (3, 26, 53), (4, 2, 6), (5, 1, 2))
+      AS t(n_images, n_cells, s2_cells) ORDER BY n_images
+    """,
+)
 def g03(spark, sf_dir):
     """Hex res-9 + S2 level-15 cell encoding over the synthetic world:
     per-cell occupancy histogram (the partition-key distribution that
@@ -1364,7 +1393,15 @@ def g03(spark, sf_dir):
     )
 
 
-@register("g04_mosaic", None)
+@register(
+    "g04_mosaic",
+    """
+    SELECT CAST(grid AS INT) AS grid, CAST(n_cells AS BIGINT) AS n_cells,
+           CAST(n_images AS BIGINT) AS n_images, CAST(max_w AS INT) AS max_w FROM (VALUES
+      (1, 1579, 1579, 32), (2, 193, 416, 64), (3, 1, 5, 96))
+      AS t(grid, n_cells, n_images, max_w) ORDER BY grid
+    """,
+)
 def g04(spark, sf_dir):
     """Per-cell raster mosaics (A10 applyInPandas) over synthetic payloads;
     emits cell geometry stats (pixel equality is pytest-verified)."""
@@ -1381,7 +1418,74 @@ def g04(spark, sf_dir):
     ).orderBy("grid")
 
 
-@register("g05_pip_wkb", None)
+@register(
+    "g05_pip_wkb",
+    """
+    SELECT poly_id, CAST(n_inside AS BIGINT) AS n_inside FROM (VALUES
+      ('poly0000', 141),
+      ('poly0001', 1),
+      ('poly0002', 3),
+      ('poly0003', 3),
+      ('poly0004', 3),
+      ('poly0005', 3),
+      ('poly0006', 6),
+      ('poly0007', 2),
+      ('poly0008', 132),
+      ('poly0009', 5),
+      ('poly0012', 3),
+      ('poly0013', 3),
+      ('poly0014', 7),
+      ('poly0015', 5),
+      ('poly0016', 125),
+      ('poly0017', 7),
+      ('poly0018', 1),
+      ('poly0019', 7),
+      ('poly0020', 5),
+      ('poly0021', 5),
+      ('poly0022', 6),
+      ('poly0023', 4),
+      ('poly0024', 129),
+      ('poly0025', 3),
+      ('poly0026', 6),
+      ('poly0027', 2),
+      ('poly0028', 2),
+      ('poly0029', 2),
+      ('poly0030', 3),
+      ('poly0031', 8),
+      ('poly0032', 140),
+      ('poly0033', 3),
+      ('poly0034', 1),
+      ('poly0035', 3),
+      ('poly0036', 1),
+      ('poly0037', 6),
+      ('poly0038', 5),
+      ('poly0039', 5),
+      ('poly0040', 155),
+      ('poly0041', 4),
+      ('poly0042', 1),
+      ('poly0043', 1),
+      ('poly0044', 5),
+      ('poly0045', 6),
+      ('poly0046', 3),
+      ('poly0047', 5),
+      ('poly0048', 141),
+      ('poly0049', 6),
+      ('poly0050', 4),
+      ('poly0052', 4),
+      ('poly0053', 5),
+      ('poly0054', 5),
+      ('poly0055', 3),
+      ('poly0056', 148),
+      ('poly0057', 4),
+      ('poly0058', 2),
+      ('poly0059', 2),
+      ('poly0060', 2),
+      ('poly0061', 1),
+      ('poly0062', 1),
+      ('poly0063', 4),
+      ('poly_band', 408)) AS t(poly_id, n_inside) ORDER BY poly_id
+    """,
+)
 def g05(spark, sf_dir):
     """WKB ray-casting PIP join over the synthetic polygon set
     (per-polygon containment counts)."""
@@ -1708,7 +1812,16 @@ def q26(spark, sf_dir):
     return out
 
 
-@register("g08_hart_fixture_parity", None)
+@register(
+    "g08_hart_fixture_parity",
+    """
+    SELECT metric, CAST(n AS BIGINT) AS n FROM (VALUES
+      ('MODIFY', 184), ('NOTHING_NEW', 3531), ('UPLOAD_CONFLICT', 34),
+      ('UPLOAD_NO_CONFLICT', 53), ('CLEAN_SUBSET', 3679),
+      ('EXPORT_EXACT', 3626), ('TOTAL_STOPS', 3802)) AS t(metric, n)
+    ORDER BY metric
+    """,
+)
 def g08(spark, sf_dir):
     """End-to-end golden run on the reference's OWN data: GTFS_Temp
     (3,802 HART stops) x DataFromServer.osm (7,029 nodes) through the OSM
