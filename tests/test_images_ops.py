@@ -58,3 +58,28 @@ def test_mosaic_cap_bounds_skew(spark):
     capped = IMG.mosaic_by_cell(geo, max_images_per_cell=2).toPandas()
     assert (capped["n_images"] <= 2).all()
     assert (capped["n_images"] + capped["n_dropped"] >= 1).all()
+
+
+def test_caption_and_pixel_equality_through_pipeline(spark):
+    """north_rule per-row invariant: captions ride the flagship assign
+    UNCHANGED (caption equality vs the source generator) and payload
+    bytes decode allclose to the reference pixel generator after the
+    full geotag->ring-join->kNN pipeline."""
+    from gtfs_osm_sync_spark.pipeline import assign_images
+    from gtfs_osm_sync_spark.functions.codecs import decode_image
+
+    n = 400
+    images = synth.generate_images(spark, n, partitions=4)
+    feats = synth.generate_features(spark, n, 16)
+    out = assign_images(geotag_images(images), feats).toPandas()
+    assert len(out) == n
+    # caption equality, per row, vs an independent regeneration
+    ids = out["image_id"].map(lambda s: int(s[3:])).to_numpy(np.uint64)
+    ref = synth.gen_images_pdf(ids)
+    assert out["caption"].tolist() == ref["caption"].tolist()
+    # decoded-pixel allclose vs the reference pixel generator
+    if "bytes" in out.columns:
+        for i in range(0, n, 97):
+            got = decode_image(out["bytes"].iloc[i], out["fmt"].iloc[i])
+            exp = decode_image(ref["bytes"].iloc[i], ref["fmt"].iloc[i])
+            assert np.allclose(got, exp)
