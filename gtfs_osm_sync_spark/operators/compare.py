@@ -161,7 +161,14 @@ def _gated_nodes(
     )
 
 
-def _probe_pairs(g: DataFrame, n: DataFrame, unmatched: DataFrame, radius_m: float, b):
+def _probe_pairs(
+    g: DataFrame,
+    n: DataFrame,
+    unmatched: DataFrame,
+    radius_m: float,
+    b,
+    known_ids: DataFrame | None = None,
+):
     """Cell-prejoin radius join between the UNMATCHED stops and the
     FOREIGN nodes (gtfs_id absent / 'missing' / known to NO stop in the
     feed — the UPLOAD_CONFLICT gate, CompareData.java:1216-1222, and the
@@ -174,8 +181,15 @@ def _probe_pairs(g: DataFrame, n: DataFrame, unmatched: DataFrame, radius_m: flo
     nodes carry valid ids, so probing ALL gated nodes quadruples the
     streaming side (measured: compare phase 134.9 s -> 196.3 s at 4M
     stops/2 cores) to serve only the order-ambiguous adopt-across-ids
-    corner — see compare_stops' adoption note."""
-    gids = g.select(F.col("gtfs_id").alias("osm_gtfs_id")).distinct()
+    corner — see compare_stops' adoption note.
+
+    known_ids: the id UNIVERSE that defines foreign-ness. Defaults to the
+    stop frame g; pass the FULL feed's ids when g is a subset (the
+    incremental-sync delta path re-compares only affected stops, but a
+    node carrying some other stop's valid id is still not foreign)."""
+    gids = (known_ids if known_ids is not None else g).select(
+        F.col("gtfs_id").alias("osm_gtfs_id")
+    ).distinct()
     fn = n.join(b(gids), "osm_gtfs_id", "left_anti")
     hexc = make_hex_cell_udf(HEX_RES)
     ring = make_hex_ring_adaptive_udf(radius_m, HEX_RES)
@@ -209,8 +223,14 @@ def compare_stops(
     network_key: str = "operator",
     broadcast_stops: bool = True,
     alias_regexes: list[str] | None = None,
+    known_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Categorize every GTFS stop against the OSM node layer.
+
+    known_ids: optional full-feed stop frame (or any frame with a
+    gtfs_id column) defining the foreign-node id universe when `gtfs` is
+    a SUBSET of the feed (incremental-sync delta re-compare); defaults
+    to `gtfs` itself.
 
     broadcast_stops: a transit FEED (10^3-10^6 stops) broadcasts — every
     join becomes a map-side hash join over the streaming node scan. For a
@@ -264,7 +284,7 @@ def compare_stops(
 
     # ---- radius probe over the unmatched stops: feeds BOTH the
     # same-location adoption branch (<= 0.5 m) and the conflict branch
-    pairs = _probe_pairs(g, n, unmatched, radius_m, b)
+    pairs = _probe_pairs(g, n, unmatched, radius_m, b, known_ids)
 
     # same-location adoption (CompareData.java:1224-1262): node within
     # ERROR_TO_ZERO whose public_transport equals the stop's expected OSM
@@ -378,6 +398,7 @@ def redundant_node_modifies(
     network_key: str = "operator",
     broadcast_stops: bool = True,
     alias_regexes: list[str] | None = None,
+    known_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Node-side redundancy modifies (CompareData.java:1172-1210): every
     gated-in node with NO usable gtfs_id (tag absent or 'missing') and no
@@ -412,7 +433,7 @@ def redundant_node_modifies(
         .distinct()
     )
     unmatched = g.join(b(matched_ids), "gtfs_id", "left_anti")
-    pairs = _probe_pairs(g, n, unmatched, radius_m, b)
+    pairs = _probe_pairs(g, n, unmatched, radius_m, b, known_ids)
 
     stop_pt = (
         F.col("public_transport")

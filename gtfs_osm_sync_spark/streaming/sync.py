@@ -1,0 +1,225 @@
+"""Incremental stop↔node sync over a stream of OSM node updates.
+
+The reference is a one-shot batch tool: every sync re-downloads the bbox
+and re-compares EVERY stop (task/CompareData.java:1000-1290 via
+osm/HttpRequest.java bbox GET). At planet scale the node layer changes
+continuously but sparsely; re-comparing 10^6 stops because 10^2 nodes
+moved is the wrong plan. This module keeps the comparison incremental:
+
+  node updates (micro-batches: adds / moves / retags / deletes)
+    -> append-only NODE LOG (SnapTable; update_seq = stream batch id)
+    -> merge-on-read CURRENT state (latest update per osm_id, deletes
+       dropped) — the same families of semantics as an Iceberg
+       merge-on-read equality-delete view
+    -> DELTA re-compare: only stops within the match radius of a changed
+       node's OLD or NEW location can change category (the id-match join
+       is Vincenty-gated by the same radius, so spatial adjacency bounds
+       ALL influence); those stops re-run the full compare_stops against
+       the merged node state, everyone else keeps their previous row
+    -> categorized RESULT LOG (SnapTable), merge-on-read latest per stop
+
+Equivalence contract (pinned in tests/test_streaming_sync.py): after any
+sequence of update batches, the merged result table is row-identical to
+a from-scratch batch compare_stops against the final node state.
+
+At cluster scale the delta path turns a full O(stops) re-compare into
+O(stops near changed nodes): the affected-stop set comes from the same
+hex-ring prejoin the batch compare uses, so a batch of k node updates
+touches O(k * ring_density) stops regardless of feed size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.compare import compare_stops
+from ..sources.snaptable import SnapTable
+
+
+def current_nodes(log: DataFrame) -> DataFrame:
+    """Merge-on-read node state from the append-only update log: the row
+    with the highest update_seq per osm_id wins (ties broken by elem_idx
+    — later in the batch wins, mirroring last-writer file order);
+    tombstones (deleted=true) drop out. Single partial-aggregating
+    max_by per key — one shuffle, map-side combined, no window."""
+    latest = log.groupBy("osm_id").agg(
+        F.max_by(
+            F.struct(*[c for c in log.columns if c != "osm_id"]),
+            F.struct(F.col("update_seq"), F.col("elem_idx")),
+        ).alias("_r")
+    )
+    return latest.select("osm_id", "_r.*").filter(~F.col("deleted")).drop(
+        "deleted", "update_seq"
+    )
+
+
+def affected_stop_ids(
+    gtfs: DataFrame, changed: DataFrame, radius_m: float = 400.0
+) -> DataFrame:
+    """Stops whose compare result CAN change given this batch of node
+    updates: within radius_m of a changed node's old or new position.
+    Both the conflict probe and the id-match join are distance-gated by
+    radius_m, so spatial adjacency bounds all influence. `changed` must
+    carry every (lat, lon) the node occupied before and after the batch
+    (the caller unions old-state rows with the update rows).
+
+    Hex-ring prejoin, changed side exploded (it is the SMALL side — a
+    delta batch), stop side streaming: same plan family as the batch
+    conflict probe."""
+    from ..functions.cells import make_hex_cell_udf, make_hex_ring_adaptive_udf
+    from ..functions.geo import haversine_m_col
+    from ..operators.spatial_join import HEX_RES
+
+    hexc = make_hex_cell_udf(HEX_RES)
+    ring = make_hex_ring_adaptive_udf(radius_m, HEX_RES)
+    ch = (
+        changed.select(F.col("lat").alias("n_lat"), F.col("lon").alias("n_lon"))
+        .withColumn("_c", hexc("n_lat", "n_lon"))
+        .withColumn("hex_cell", F.explode(ring(F.col("_c"), F.col("n_lat"))))
+        .drop("_c")
+    )
+    g = gtfs.select("gtfs_id", "lat", "lon").withColumn("hex_cell", hexc("lat", "lon"))
+    return (
+        g.join(F.broadcast(ch), "hex_cell")
+        .filter(
+            haversine_m_col(F.col("lat"), F.col("lon"), F.col("n_lat"), F.col("n_lon"))
+            < radius_m * 1.01
+        )
+        .select("gtfs_id")
+        .distinct()
+    )
+
+
+def apply_update_batch(
+    spark: SparkSession,
+    updates: DataFrame,
+    node_log: SnapTable,
+    result_log: SnapTable,
+    gtfs: DataFrame,
+    agency_names: list[str],
+    batch_id: int,
+    run_id: str = "sync",
+    radius_m: float = 400.0,
+    **compare_kw,
+) -> int:
+    """One micro-batch of the incremental sync. `updates` rows use the
+    node source schema plus a boolean `deleted` tombstone column.
+
+    Steps: (1) effectively-once append to the node log, (2) compute the
+    affected-stop set from every position the touched node ids EVER held
+    in the log plus the batch's new positions (a superset of old∪new —
+    replay-safe even when a crash landed between the two appends, since
+    it never needs the pre-batch state), (3) re-run the full batch
+    compare for ONLY those stops against the merged state, (4)
+    effectively-once append of the fresh rows (stamped with update_seq)
+    to the result log. The two appends are separate atomic commits with
+    separate ledgers, so a crash between them replays only the missing
+    half. Returns the number of re-compared stops."""
+    bid = int(batch_id)
+    node_done = bid in node_log.processed_chunks(run_id)
+    result_done = bid in result_log.processed_chunks(run_id + "_results")
+    if node_done and result_done:
+        return 0  # fully replayed micro-batch
+
+    upd = updates.withColumn("update_seq", F.lit(bid))
+    if not node_done:
+        node_log.append(upd, checkpoint={"run_id": run_id, "chunks": [bid]})
+    log_df = node_log.read(spark)
+    state = current_nodes(log_df)
+
+    # a node that MOVED influences its old neighborhood too: take every
+    # position the touched ids ever held (superset of old∪new; extra
+    # stops just re-compare to the same answer)
+    changed = log_df.join(
+        upd.select("osm_id").distinct(), "osm_id", "left_semi"
+    ).select("lat", "lon").unionByName(upd.select("lat", "lon"))
+
+    if result_log.is_empty():
+        # bootstrap: the first batch is the initial snapshot — every stop
+        # needs a category (stops near NO node are legitimate
+        # UPLOAD_NO_CONFLICT rows and would otherwise never be emitted)
+        sub = gtfs
+    else:
+        touched = affected_stop_ids(gtfs, changed, radius_m)
+        sub = gtfs.join(F.broadcast(touched), "gtfs_id", "left_semi")
+    n_recompared = sub.count()
+    if n_recompared and not result_done:
+        fresh = compare_stops(
+            sub,
+            state,
+            agency_names,
+            radius_m=radius_m,
+            # the delta subset must judge foreign-ness against the FULL
+            # feed's id universe, not its own
+            known_ids=gtfs,
+            **compare_kw,
+        ).withColumn("update_seq", F.lit(bid))
+        result_log.append(
+            fresh, checkpoint={"run_id": run_id + "_results", "chunks": [bid]}
+        )
+    return n_recompared
+
+
+def current_results(result_log: SnapTable, spark: SparkSession) -> DataFrame:
+    """Merge-on-read categorized view: latest update_seq per stop wins."""
+    log = result_log.read(spark)
+    latest = log.groupBy("gtfs_id").agg(
+        F.max_by(
+            F.struct(*[c for c in log.columns if c != "gtfs_id"]),
+            F.col("update_seq"),
+        ).alias("_r")
+    )
+    return latest.select("gtfs_id", "_r.*").drop("update_seq")
+
+
+def stream_node_sync(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    node_log_root: str,
+    result_log_root: str,
+    gtfs: DataFrame,
+    agency_names: list[str],
+    checkpoint_dir: str,
+    run_id: str = "sync",
+    trigger_once: bool = True,
+    **compare_kw,
+):
+    """File-source streaming wrapper: each parquet drop in source_dir is
+    one update micro-batch through apply_update_batch. checkpoint_dir is
+    required for the same durable-batch-id reason as
+    ingest.stream_images_to_table."""
+    if not checkpoint_dir:
+        raise ValueError(
+            "checkpoint_dir is required: without a durable streaming "
+            "checkpoint, batch_id restarts at 0 on re-run and the "
+            "effectively-once ledger would skip fresh batches"
+        )
+    node_log = SnapTable(node_log_root)
+    result_log = SnapTable(result_log_root)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        apply_update_batch(
+            spark,
+            batch_df,
+            node_log,
+            result_log,
+            gtfs,
+            agency_names,
+            int(batch_id),
+            run_id=run_id,
+            **compare_kw,
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if trigger_once:
+        q.awaitTermination()
+    return q

@@ -1,0 +1,163 @@
+"""Incremental stop↔node sync: delta re-compare over a stream of node
+updates must equal a from-scratch batch compare of the final state."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from gtfs_osm_sync_spark import synth
+from gtfs_osm_sync_spark.operators import compare as C
+from gtfs_osm_sync_spark.sources.snaptable import SnapTable
+from gtfs_osm_sync_spark.streaming import sync as S
+
+AG = synth.COMPARE_AGENCY
+UPDATE_SCHEMA = synth.COMPARE_NODES_SCHEMA + ", deleted boolean"
+
+
+def _stops(spark, rows):
+    return spark.createDataFrame(
+        [
+            (g, lat, lon, str(lat), str(lon), nm, nm, AG, g.lstrip("0") or "0")
+            for g, lat, lon, nm in rows
+        ],
+        synth.COMPARE_STOPS_SCHEMA,
+    )
+
+
+def _updates(spark, rows):
+    # (osm_id, lat, lon, tags, elem_idx, deleted)
+    return spark.createDataFrame(
+        [
+            (o, "2", "u", "t", lat, lon, tags, 0, idx, deleted)
+            for o, lat, lon, tags, idx, deleted in rows
+        ],
+        UPDATE_SCHEMA,
+    )
+
+
+def _world(spark):
+    """5 stops; update batches add / move / retag / delete nodes around
+    them so every category transition direction is exercised."""
+    stops = _stops(
+        spark,
+        [
+            ("0000001", 10.0, 20.0, "S1"),   # gains an id match in b1
+            ("0000002", 30.0, 40.0, "S2"),   # id match in b0; node DELETED in b2
+            ("0000003", 50.0, 60.0, "S3"),   # clean forever (never touched)
+            ("0000004", 70.0, 80.0, "S4"),   # foreign neighbor appears in b1 -> conflict
+            ("0000005", 11.0, 21.0, "S5"),   # b0 match MOVES out of range in b2
+        ],
+    )
+    b0 = _updates(
+        spark,
+        [
+            ("n2", 30.0005, 40.0, {"gtfs_id": "2", "operator": AG, "name": "Old2"}, 1, False),
+            ("n5", 11.0005, 21.0, {"gtfs_id": "5", "operator": AG}, 2, False),
+            ("nFar", 0.0, 0.0, {"gtfs_id": "9", "operator": AG}, 3, False),
+        ],
+    )
+    b1 = _updates(
+        spark,
+        [
+            ("n1", 10.0008, 20.0, {"gtfs_id": "1", "operator": AG, "name": "One"}, 1, False),
+            ("nx4", 70.0008, 80.0, {"operator": AG, "name": "mystery"}, 2, False),
+        ],
+    )
+    b2 = _updates(
+        spark,
+        [
+            ("n2", 30.0005, 40.0, {"gtfs_id": "2", "operator": AG}, 1, True),  # delete
+            ("n5", 12.5, 21.0, {"gtfs_id": "5", "operator": AG}, 2, False),    # move away
+        ],
+    )
+    return stops, [b0, b1, b2]
+
+
+_CMP_COLS = ["gtfs_id", "category", "osm_id", "dist_m", "merged_tags"]
+
+
+def _sorted_rows(df):
+    return sorted(
+        (r["gtfs_id"], r["category"], r["osm_id"],
+         None if r["dist_m"] is None else round(r["dist_m"], 6),
+         None if r["merged_tags"] is None else tuple(sorted(r["merged_tags"].items())))
+        for r in df.select(*_CMP_COLS).collect()
+    )
+
+
+def test_incremental_equals_full_batch(spark, tmp_path):
+    stops, batches = _world(spark)
+    nlog = SnapTable(str(tmp_path / "nodes"))
+    rlog = SnapTable(str(tmp_path / "results"))
+    for bid, b in enumerate(batches):
+        S.apply_update_batch(
+            spark, b, nlog, rlog, stops, [AG], bid, id_digits=synth._CMP_DIGITS
+        )
+        # invariant after EVERY batch, not just the last one
+        merged = S.current_results(rlog, spark)
+        full = C.compare_stops(
+            stops, S.current_nodes(nlog.read(spark)), [AG], id_digits=synth._CMP_DIGITS
+        )
+        assert _sorted_rows(merged) == _sorted_rows(full), f"diverged after batch {bid}"
+
+    # the final state must show every planned transition
+    cats = {r["gtfs_id"]: (r["category"], r["osm_id"])
+            for r in S.current_results(rlog, spark).collect()}
+    assert cats["0000001"] == ("MODIFY", "n1")           # appeared in b1
+    assert cats["0000002"][0] == "UPLOAD_NO_CONFLICT"    # match deleted in b2
+    assert cats["0000003"][0] == "UPLOAD_NO_CONFLICT"    # never touched
+    assert cats["0000004"][0] == "UPLOAD_CONFLICT"       # foreign neighbor b1
+    assert cats["0000005"][0] == "UPLOAD_NO_CONFLICT"    # match moved away b2
+
+
+def test_replayed_batch_is_noop(spark, tmp_path):
+    stops, batches = _world(spark)
+    nlog = SnapTable(str(tmp_path / "nodes"))
+    rlog = SnapTable(str(tmp_path / "results"))
+    S.apply_update_batch(spark, batches[0], nlog, rlog, stops, [AG], 0,
+                         id_digits=synth._CMP_DIGITS)
+    v_n, v_r = nlog.current_version(), rlog.current_version()
+    n = S.apply_update_batch(spark, batches[0], nlog, rlog, stops, [AG], 0,
+                             id_digits=synth._CMP_DIGITS)
+    assert n == 0
+    assert nlog.current_version() == v_n and rlog.current_version() == v_r
+
+
+def test_stream_wrapper_and_restart(spark, tmp_path):
+    stops, batches = _world(spark)
+    src = tmp_path / "drops"
+    src.mkdir()
+    from pyspark.sql import types as T
+
+    schema = spark.createDataFrame([], UPDATE_SCHEMA).schema
+    # drop the batches as separate files BEFORE starting: availableNow
+    # drains them (micro-batch boundaries may merge files; equivalence
+    # holds regardless because the delta set is a union)
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("overwrite").parquet(str(src / f"b{i}.parquet"))
+    # file-source needs a flat dir of files; point at the dir of dirs
+    paths = str(src / "*")
+
+    S.stream_node_sync(
+        spark, paths, schema,
+        str(tmp_path / "nodes"), str(tmp_path / "results"),
+        stops, [AG], checkpoint_dir=str(tmp_path / "ckpt"),
+        id_digits=synth._CMP_DIGITS,
+    )
+    nlog, rlog = SnapTable(str(tmp_path / "nodes")), SnapTable(str(tmp_path / "results"))
+    merged = S.current_results(rlog, spark)
+    full = C.compare_stops(
+        stops, S.current_nodes(nlog.read(spark)), [AG], id_digits=synth._CMP_DIGITS
+    )
+    assert _sorted_rows(merged) == _sorted_rows(full)
+
+    # restart with the same checkpoint: no new data -> no new commits
+    v_n, v_r = nlog.current_version(), rlog.current_version()
+    S.stream_node_sync(
+        spark, paths, schema,
+        str(tmp_path / "nodes"), str(tmp_path / "results"),
+        stops, [AG], checkpoint_dir=str(tmp_path / "ckpt"),
+        id_digits=synth._CMP_DIGITS,
+    )
+    assert nlog.current_version() == v_n and rlog.current_version() == v_r
