@@ -376,3 +376,31 @@ def test_stop_sync_document_composition(spark):
         stops, nodes, [synth.COMPARE_AGENCY], id_digits=7, capabilities_xml=caps_ok
     )
     assert "<create>" in xml2
+
+
+def test_hot_cell_world_conflict_probe(spark):
+    """Skew smoke: a mega-city world where EVERY stop and node lands in
+    one hex cell (all pairs collide in a single probe bucket). The
+    cell-prejoin must still produce exact categories — 300 unmatched
+    stops x 300 id-less nodes is 90k candidate pairs through one key —
+    and the id-match path must stay unaffected by the hot probe cell."""
+    n = 300
+    # ~1.1 m spacing: everything within a 400 m disc -> one cell + ring
+    stops = _mk_stops(
+        spark,
+        [(str(i + 1).zfill(7), 10.0 + i * 1e-5, 20.0, f"S{i}") for i in range(n)],
+    )
+    nodes = _mk_nodes(
+        spark,
+        # id-less foreign nodes interleaved 0.6 m east of each stop
+        [(f"nf{i}", 10.0 + i * 1e-5, 20.000006, {"operator": synth.COMPARE_AGENCY}, i)
+         for i in range(n)]
+        # plus ONE id match to prove the equi-join path is undisturbed
+        + [("nid", 10.0, 20.0, {"gtfs_id": "1", "operator": synth.COMPARE_AGENCY}, n + 1)],
+    )
+    got = C.compare_stops(stops, nodes, [synth.COMPARE_AGENCY], id_digits=7)
+    cats = {r["gtfs_id"]: r["category"] for r in got.collect()}
+    assert len(cats) == n
+    assert cats["0000001"] in ("MODIFY", "NOTHING_NEW")  # the id match
+    # every other stop has an id-less node within (0.5m, 400m): conflict
+    assert all(v == "UPLOAD_CONFLICT" for k, v in cats.items() if k != "0000001")
