@@ -370,3 +370,57 @@ def api_version_supported(capabilities_xml: str, api_version: str = "0.6") -> bo
             hi = float(elem.get("maximum"))
             return lo <= float(api_version) <= hi
     return False
+
+
+OSM_CHANGE_SCHEMA = (
+    "action string, elem_type string, osm_id string, lat double, lon double,"
+    " version string, changeset string, tags map<string,string>,"
+    " nds array<string>, members array<struct<ref:string,mtype:string,role:string>>"
+)
+
+
+def read_osm_change(spark: SparkSession, xml_text: str) -> DataFrame:
+    """S10 parse side: an osmChange document (the changeset-download
+    response) into an action-stamped element frame. The reference's
+    ChangesetDownloadParser.java:44-66 keeps only node id/version and
+    bakes the INVERSION into which set each element lands in; here the
+    full element content is kept and inversion is the separate
+    `sinks.invert_changeset` operator, so the same frame serves revert,
+    audit, and diff uses. Driver-side parse by design: changeset
+    downloads are bounded by the API's per-changeset element cap (the
+    reference holds them in three in-memory HashSets), the same bounded
+    contract as the K3/K4 in-memory sinks."""
+    import io
+
+    rows: list[tuple] = []
+    action: str | None = None
+    for event, elem in ET.iterparse(io.StringIO(xml_text), events=("start", "end")):
+        if event == "start":
+            if elem.tag in ("create", "modify", "delete"):
+                action = elem.tag
+            continue
+        if elem.tag in ("create", "modify", "delete"):
+            action = None
+        elif elem.tag in ("node", "way", "relation") and action is not None:
+            tags = {t.get("k"): t.get("v") for t in elem.findall("tag")}
+            nds = [nd.get("ref") for nd in elem.findall("nd")]
+            members = [
+                (m.get("ref"), m.get("type"), m.get("role"))
+                for m in elem.findall("member")
+            ]
+            rows.append(
+                (
+                    action,
+                    elem.tag,
+                    elem.get("id"),
+                    float(elem.get("lat")) if elem.get("lat") is not None else None,
+                    float(elem.get("lon")) if elem.get("lon") is not None else None,
+                    elem.get("version"),
+                    elem.get("changeset"),
+                    tags or None,
+                    nds or None,
+                    members or None,
+                )
+            )
+            elem.clear()
+    return spark.createDataFrame(rows, OSM_CHANGE_SCHEMA)

@@ -265,3 +265,25 @@ def text_report(df: DataFrame, category_col: str = "category") -> str:
         i += 1
         lines.append(f"{i}. {r['gtfs_id']} {r['name']}")
     return "\n".join(lines) + "\n"
+
+
+def revert_document(change: DataFrame, changeset: str = "0") -> str:
+    """S10 composition (task/RevertChangeset.java:58-66): serialize the
+    INVERSE of a parsed osmChange frame — created elements get deleted,
+    deleted elements re-created, modified elements re-uploaded. Rows
+    feeding the create/modify sections must carry full element content
+    (an id-only delete section can't be re-created from the document
+    alone; the reference refetches prior versions over HTTP — in this
+    engine `SnapTable.rollback` is the first-class revert and this
+    document form exists for API parity)."""
+    inv = invert_changeset(change)
+    if "elem_type" in inv.columns:
+        inv = inv.withColumnRenamed("elem_type", "primitive_type")
+    parts = {
+        a: inv.filter(F.col("action") == a).drop("action")
+        for a in ("create", "modify", "delete")
+    }
+    nonempty = {a: (df if not df.isEmpty() else None) for a, df in parts.items()}
+    return osm_change_xml(
+        nonempty["create"], nonempty["modify"], nonempty["delete"], changeset=changeset
+    )

@@ -192,3 +192,39 @@ def test_k4_created_relation_version_and_creator_tag(spark):
     assert {k: v for k, v in mine["tags"].items() if k != "source"} == {
         k: v for k, v in rel["tags"].items() if k != "source"
     }
+
+
+def test_changeset_parse_invert_reserialize_roundtrip(spark):
+    """S10 end-to-end: build a change document, parse it back
+    (ChangesetDownloadParser analog), invert (create<->delete), and
+    re-serialize the revert document — ids, tags, way nds and versions
+    survive the round trip; the created node comes back as a delete and
+    the modify is re-uploaded."""
+    from pyspark.sql import functions as F
+
+    from gtfs_osm_sync_spark.sources import osmxml, sinks
+
+    create = spark.createDataFrame(
+        [("0001", 1.5, 2.5, None, {"name": "New stop", "highway": "bus_stop"})],
+        "gtfs_id string, lat double, lon double, version string, tags map<string,string>",
+    )
+    modify = spark.createDataFrame(
+        [("n77", "3", 4.5, 5.5, {"name": "Renamed"}, "way", ["a", "b"])],
+        "osm_id string, version string, lat double, lon double,"
+        " tags map<string,string>, primitive_type string, nds array<string>",
+    )
+    doc = sinks.osm_change_xml(create, modify, None, changeset="42")
+
+    parsed = osmxml.read_osm_change(spark, doc)
+    got = {r["osm_id"]: r for r in parsed.collect()}
+    assert got["-1"]["action"] == "create" and got["-1"]["tags"]["name"] == "New stop"
+    assert got["n77"]["action"] == "modify" and got["n77"]["elem_type"] == "way"
+    assert got["n77"]["nds"] == ["a", "b"]
+
+    revert = sinks.revert_document(parsed, changeset="43")
+    # the created node (temp id -1) is now deleted; the way re-uploads
+    delete_sec = revert.split("<delete>")[1].split("</delete>")[0]
+    assert 'id="-1"' in delete_sec
+    modify_sec = revert.split("<modify>")[1].split("</modify>")[0]
+    assert 'id="n77"' in modify_sec and '<nd ref="a"/>' in modify_sec
+    assert "<create>" not in revert  # nothing was deleted originally
