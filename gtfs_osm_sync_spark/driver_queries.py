@@ -2262,6 +2262,48 @@ def d11(spark, sf_dir):
 
 
 @register(
+    "d13_embedding_dup_components",
+    f"""
+    WITH RECURSIVE
+    a AS (SELECT vec_id AS id_a, embedding AS vec_a FROM embeddings),
+    b AS (SELECT vec_id AS id_b, embedding AS vec_b FROM embeddings),
+    prs AS (
+      SELECT id_a, id_b FROM a JOIN b ON id_a < id_b
+      WHERE round({_cos_expr('vec_a', 'vec_b')}, 3) >= 0.3
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM prs
+      UNION SELECT id_b, id_a FROM prs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT CAST(src AS BIGINT) AS vec_id,
+           CAST(least(src, min(dst)) AS BIGINT) AS component
+    FROM reach GROUP BY src
+    """,
+)
+def d13(spark, sf_dir):
+    """Embedding near-dup CLUSTERING: the cosine pair graph (d09, exact
+    baseline) contracted to components by alternating large-star/
+    small-star — the canonical-survivor labeling a dedup pipeline
+    applies AFTER pair generation. Oracle = DuckDB recursive transitive
+    closure over the same cosine pairs. Composition of two
+    independently-verified operators, hash-checked end-to-end."""
+    from .operators.dedup import connected_components
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    pairs = SIM.cosine_dedup_pairs(emb, threshold=0.3).select("id_a", "id_b")
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("doc_id").cast("long").alias("vec_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+@register(
     "d12_simhash_pairs",
     f"""
     WITH {_DOCS_AUG_SQL},
