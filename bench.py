@@ -27,6 +27,51 @@ HEADLINE = [
     "q08_variant_dedup",
 ]
 
+# ---- host-drift reference probe -------------------------------------
+# The sandbox host drifts several percent per hour (documented phantom
+# regressions: BENCH/BASELINE.md local-stability section), so raw
+# round-over-round numbers are not comparable. A fixed single-task JVM
+# workload (range + xxhash64 fold, no I/O, 1 partition so the busy-core
+# cliff and the cpus level cannot touch it) is timed best-of-3 at bench
+# start AND end; drift_index = min(start, end) / NOMINAL.
+# queries_normalized divides each raw timing by drift_index — compare
+# THOSE across rounds.
+_PROBE_ROWS = 400_000_000
+# calibrated on this VM in a clean window (n=10 runs, min 1.199 s,
+# 2026-08-17); re-calibrate: python -c "import bench; bench.calibrate()".
+# The host shows HIGH-FREQUENCY speed noise in drifty windows (single
+# samples spread 1.19-1.91 s within one minute, measured r4) — the probe
+# takes best-of-3 and the index uses min(start, end), the same min
+# statistic the per-query timings use. Absolute calibration matters less
+# than procedure consistency: every round runs the identical probe, so
+# drift_index is comparable round-over-round.
+_PROBE_NOMINAL_SEC = 1.199
+
+
+def _drift_probe(spark) -> float:
+    from pyspark.sql import functions as F
+
+    t = []
+    for _ in range(3):
+        t0 = time.time()
+        (
+            spark.range(0, _PROBE_ROWS, 1, 1)
+            .agg(F.bit_xor(F.xxhash64("id")))
+            .collect()
+        )
+        t.append(time.time() - t0)
+    return min(t)
+
+
+def calibrate(n: int = 5) -> None:
+    """Print candidate _PROBE_NOMINAL_SEC values (run in a clean window)."""
+    from gtfs_osm_sync_spark.session import get_spark
+
+    spark = get_spark(cpus=8, app_name="calibrate")
+    _drift_probe(spark)  # JIT warm
+    vals = [_drift_probe(spark) for _ in range(n)]
+    print("probe samples:", [round(v, 3) for v in vals], "min:", round(min(vals), 3))
+
 
 def run_bench(sf_dir: str, cpus: int, queries: list[str] | None = None) -> dict:
     from gtfs_osm_sync_spark.session import get_spark
@@ -36,6 +81,7 @@ def run_bench(sf_dir: str, cpus: int, queries: list[str] | None = None) -> dict:
     names = [q for q in (queries or HEADLINE) if q in dq.QUERIES]
     # warm the JVM/Arrow path once (excluded from timings)
     dq.QUERIES[names[0]](spark, sf_dir).count()
+    probe_start = _drift_probe(spark)
 
     # best-of-2 per query: single-sample timings at the 1-2 s magnitude
     # are dominated by host drift (a +33% phantom regression was chased
@@ -110,11 +156,24 @@ def run_bench(sf_dir: str, cpus: int, queries: list[str] | None = None) -> dict:
     run_compare()
     t_cmp = min(run_compare(), run_compare())
 
+    probe_end = _drift_probe(spark)
+    drift_index = round(min(probe_start, probe_end) / _PROBE_NOMINAL_SEC, 4)
+
     return {
         "metric": "headline query wall-clock (flagship kNN spatial join first)",
         "value": total,
         "unit": "sec",
         "queries": per_query,
+        "drift": {
+            "probe_sec_start": round(probe_start, 3),
+            "probe_sec_end": round(probe_end, 3),
+            "nominal_sec": _PROBE_NOMINAL_SEC,
+            "drift_index": drift_index,
+        },
+        "value_normalized": round(total / drift_index, 3),
+        "queries_normalized": {
+            q: round(v / drift_index, 3) for q, v in per_query.items()
+        },
         "sf": sf_dir.rstrip("/").split("sf")[-1],
         "cpus": cpus,
         "flagship": {

@@ -2344,3 +2344,74 @@ def d12(spark, sf_dir):
         F.col("id_b").cast("long").alias("id_b"),
         F.col("hamming").cast("int").alias("hamming"),
     )
+
+
+@register(
+    "d14_scaled_dedup_pipeline",
+    f"""
+    WITH RECURSIVE {_DOCS_AUG_SQL}, {_MINHASH_SQL_BODY},
+    cdoc AS (
+      SELECT DISTINCT id_a AS doc_id FROM cand
+      UNION SELECT DISTINCT id_b FROM cand
+    ),
+    cshd0 AS (
+      SELECT s.doc_id, s.shingle FROM shd s JOIN cdoc USING (doc_id)
+    ),
+    cshd AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+        FROM cshd0
+      ) WHERE df <= 8
+    ),
+    ccnt AS (SELECT doc_id, count(*) AS n_sh FROM cshd GROUP BY doc_id),
+    cinter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM cshd a JOIN cshd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    prs AS (
+      SELECT i.id_a, i.id_b
+      FROM cinter i
+      JOIN cand c ON i.id_a = c.id_a AND i.id_b = c.id_b
+      JOIN ccnt ca ON i.id_a = ca.doc_id
+      JOIN ccnt cb ON i.id_b = cb.doc_id
+      WHERE i.n_inter / (ca.n_sh + cb.n_sh - i.n_inter) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM prs
+      UNION SELECT id_b, id_a FROM prs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id,
+           CAST(least(src, min(dst)) AS BIGINT) AS component
+    FROM reach GROUP BY src
+    """,
+)
+def d14(spark, sf_dir):
+    """The at-scale dedup pipeline composed END-TO-END — exactly what a
+    100 TB run executes: MinHash(12) -> LSH banding (4x3) candidate
+    pairs -> df-capped exact-Jaccard verify (>= 0.5) restricted to the
+    candidates -> large-star/small-star connected components. Every
+    stage is bucketed/capped (never all-pairs, never O(diameter)); the
+    DuckDB oracle mirrors the full composition, including the df cap
+    computed over the candidate-restricted shingle universe, so the
+    composition itself is hash-checked, not just its pieces (d05 grades
+    the candidate+verify stages, d10 the cap, d11/d13 the exact-path
+    clustering)."""
+    from .operators.dedup import connected_components
+
+    docs = _docs_aug(spark, sf_dir)
+    sigs = DD.minhash_signatures(docs, num_hashes=12)
+    cand = DD.lsh_candidate_pairs(sigs, num_hashes=12, band_rows=3)
+    pairs = DD.jaccard_pairs(docs, cand, threshold=0.5, df_cap=8).select(
+        "id_a", "id_b"
+    )
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )

@@ -420,7 +420,12 @@ def redundant_node_modifies(
 
     Nodes consumed by the same-location adoption branch are excluded:
     the reference's `!modify.contains(es)` guard (CompareData.java:1179)
-    skips nodes already queued for modification.
+    skips nodes already queued for modification. Stops consumed by
+    adoption are excluded too — under the reference's sequential
+    reading an adopted stop enters noUpload (CompareData.java:1230)
+    and later nodes skip it (:1060), so it cannot source a FIXME;
+    this mirrors compare_stops' `rest` exclusion (pinned in
+    test_redundant_modifies_skip_adopted_stop).
     """
     g = gtfs_tag_map(gtfs, network_key)
     # shuffle path: HINT every build side to shuffled-hash — Catalyst's
@@ -455,18 +460,21 @@ def redundant_node_modifies(
     )
     if "public_transport" in gtfs.columns:
         # nodes consumed by the adoption branch are excluded (the
-        # reference's !modify.contains guard); impossible without a
-        # public_transport column, so the subtree is dropped at build time
-        adopted_nodes = (
-            pairs.filter(
-                (F.col("dist_m") <= ERROR_TO_ZERO_M)
-                & F.col("osm_tags").getItem("public_transport").isNotNull()
-                & (F.col("osm_tags").getItem("public_transport") == stop_pt)
-            )
-            .select("osm_id")
-            .distinct()
+        # reference's !modify.contains guard), and so are the adopted
+        # STOPS themselves: an adopted stop enters noUpload
+        # (CompareData.java:1230) before later nodes scan it, so an
+        # id-less node whose only nearby unmatched stop was adopted must
+        # NOT gain a FIXME — this pins the same sequential reading as
+        # compare_stops' `rest` exclusion. Impossible without a
+        # public_transport column, so both subtrees drop at build time.
+        adoptable = pairs.filter(
+            (F.col("dist_m") <= ERROR_TO_ZERO_M)
+            & F.col("osm_tags").getItem("public_transport").isNotNull()
+            & (F.col("osm_tags").getItem("public_transport") == stop_pt)
         )
-        cand = cand.join(b(adopted_nodes), "osm_id", "left_anti")
+        cand = cand.join(
+            b(adoptable.select("osm_id").distinct()), "osm_id", "left_anti"
+        ).join(b(adoptable.select("gtfs_id").distinct()), "gtfs_id", "left_anti")
     # one modify per node no matter how many stops flag it
     per_node = (
         cand.withColumn(

@@ -198,15 +198,22 @@ def stop_sync_document(
     capabilities_xml: str | None = None,
     broadcast_stops: bool = True,
     alias_regexes: list[str] | None = None,
+    include_conflicts: bool = True,
 ) -> str:
     """The reference's full upload composition (task/UploadData.java:59-75:
     checkVersion -> createChangeSet -> createChunks) as one call: compare
     the feed against the node layer, then assemble the osmChange document
     from the AUTO-UPLOAD sets --
 
-      <create>: UPLOAD_NO_CONFLICT stops (the `upload` set CompareData
-        hands to UploadData; conflict stops stay in the revise bucket
-        until a human resolves them, so they are NOT in the document);
+      <create>: UPLOAD_NO_CONFLICT stops PLUS (by default) the
+        UPLOAD_CONFLICT stops carrying their FIXME merged tags — the
+        reference's default upload set includes conflict stops
+        (CompareData.java:1153-1155 builds the FIXME'd copy into
+        `upload`; ReportViewer.generateStopsToUpload:1587-1603 keeps
+        them there unless acceptedOnlyCheckbox is selected).
+        include_conflicts=False withholds them — the acceptedOnly-style
+        safety posture for unattended composition, where FIXME'd
+        near-duplicates should wait for human review;
       <modify>: MODIFY stops (id-matched or same-location-adopted, merged
         tags, node identity/location) UNION the node-side redundancy
         modifies (id-less nodes near unmatched stops gaining FIXME/note,
@@ -237,7 +244,12 @@ def stop_sync_document(
         kw["radius_m"] = radius_m
     cmp = compare_stops(gtfs, nodes, **kw).cache()
     try:
-        create = cmp.filter(F.col("category") == "UPLOAD_NO_CONFLICT").select(
+        create_cats = (
+            ["UPLOAD_NO_CONFLICT", "UPLOAD_CONFLICT"]
+            if include_conflicts
+            else ["UPLOAD_NO_CONFLICT"]
+        )
+        create = cmp.filter(F.col("category").isin(create_cats)).select(
             "gtfs_id",
             F.col("final_lat").alias("lat"),
             F.col("final_lon").alias("lon"),

@@ -130,37 +130,89 @@ def _parse_one(path: str, file_idx: int) -> Iterator[tuple]:
 
 
 _BOUNDARY_TAGS = (b"<node", b"<way", b"<relation")
-_OVERLAP = 10  # > len('<relation') + 1 delimiter byte
+_OVERLAP = 10  # > len('<relation') == len('<![CDATA[') + 1 delimiter byte
+# regions whose content must not be mistaken for element boundaries
+_SKIP_REGIONS = ((b"<!--", b"-->"), (b"<![CDATA[", b"]]>"))
+
+
+_BACKSCAN = 1 << 16  # how far before pos a region opener is visible
 
 
 def _find_boundary(f, pos: int) -> int | None:
-    """First byte offset >= pos where a top-level element starts. A raw
+    """First byte offset >= pos where a top-level element starts (may be
+    up to 2 bytes earlier when a skip-region closer straddles pos; the
+    function is deterministic per pos, so adjacent chunks' end/start
+    scans always agree and the chunk slices still tile exactly). A raw
     byte scan is sound because '<' inside attribute values is always
     XML-escaped; child tags (<tag/<nd/<member) share no prefix with the
-    top-level names once the delimiter byte is checked."""
+    top-level names once the delimiter byte is checked. A literal
+    '<node'/'<way'/'<relation' inside an XML comment or CDATA section is
+    NOT a boundary: regions opening at/after pos are tracked forward,
+    and a region already open AT pos is detected by a bounded backward
+    scan (last opener/closer token in the _BACKSCAN window before pos).
+    Residual hole: a single comment/CDATA region longer than _BACKSCAN
+    (64 KB) straddling pos, or pathological token nesting inside such
+    regions — machine-generated OSM dumps carry neither; for hand-edited
+    extracts use split_bytes=None (a mis-sliced chunk that fails to
+    parse raises a ValueError pointing there; see _parse_range)."""
+    skip_end = None  # close-marker of an open comment/CDATA region
+    seed = b""
+    if pos > 0:
+        lo = max(0, pos - _BACKSCAN)
+        f.seek(lo)
+        win = f.read(pos - lo)
+        last = None  # (offset, closer-if-opener-else-None)
+        for opener, closer in _SKIP_REGIONS:
+            j = win.rfind(opener)
+            if j >= 0 and (last is None or j > last[0]):
+                last = (j, closer)
+            j = win.rfind(closer)
+            if j >= 0 and (last is None or j > last[0]):
+                last = (j, None)
+        if last is not None and last[1] is not None:
+            skip_end = last[1]
+            seed = win[-2:]  # a 3-byte closer may straddle pos
     f.seek(pos)
-    tail = b""
-    base = pos
+    tail = seed
+    base = pos - len(seed)
     while True:
         block = f.read(1 << 20)
         buf = tail + block
         eof = not block
         limit = len(buf) if eof else len(buf) - _OVERLAP
-        best = None
-        for t in _BOUNDARY_TAGS:
-            i = 0
-            while True:
+        i = 0
+        while i < limit:
+            if skip_end is not None:
+                e = buf.find(skip_end, i)
+                if e < 0 or e + len(skip_end) > limit:
+                    i = limit  # region continues into the next block
+                    break
+                i = e + len(skip_end)
+                skip_end = None
+                continue
+            # earliest special token at/after i: a delimited boundary
+            # tag or a comment/CDATA opener (which wins if earlier)
+            cands = []
+            for t in _BOUNDARY_TAGS:
                 j = buf.find(t, i)
-                if j < 0 or j >= limit:
-                    break
-                nxt = buf[j + len(t) : j + len(t) + 1]
-                if nxt == b"" or nxt in b" \t\r\n>/":
-                    if best is None or j < best:
-                        best = j
-                    break
-                i = j + 1
-        if best is not None:
-            return base + best
+                while 0 <= j < limit:
+                    nxt = buf[j + len(t) : j + len(t) + 1]
+                    if nxt == b"" or nxt in b" \t\r\n>/":
+                        cands.append((j, t, None))
+                        break
+                    j = buf.find(t, j + 1)
+            for opener, closer in _SKIP_REGIONS:
+                j = buf.find(opener, i)
+                if 0 <= j < limit:
+                    cands.append((j, opener, closer))
+            if not cands:
+                i = limit
+                break
+            j, tok, closer = min(cands)
+            if closer is None:
+                return base + j
+            skip_end = closer
+            i = j + len(tok)
         if eof:
             return None
         keep = min(len(buf), _OVERLAP)
@@ -193,7 +245,15 @@ def _parse_range(path: str, file_idx: int, start: int, end: int) -> Iterator[tup
     # byte-offset-based elem_idx: strictly increasing across chunks
     # (local count can never reach the next chunk's start offset — every
     # element is > 1 byte), dense within none
-    yield from _emit(src, file_idx, lambda i: b0 + i)
+    try:
+        yield from _emit(src, file_idx, lambda i: b0 + i)
+    except ET.ParseError as ex:
+        raise ValueError(
+            f"byte-range chunk [{start},{end}) of {path} failed to parse "
+            f"({ex}). If this file contains an XML comment or CDATA "
+            "section spanning a chunk boundary, the boundary scan can "
+            "mis-slice it — re-read with split_bytes=None."
+        ) from ex
 
 
 def read_osm_xml(

@@ -25,7 +25,14 @@ a from-scratch batch compare_stops against the final node state.
 At cluster scale the delta path turns a full O(stops) re-compare into
 O(stops near changed nodes): the affected-stop set comes from the same
 hex-ring prejoin the batch compare uses, so a batch of k node updates
-touches O(k * ring_density) stops regardless of feed size.
+touches O(k * ring_density) stops regardless of feed size. The node
+side is bounded the same way: the merged state is cell-pruned to the
+affected stops' rings (prune_state_to_stop_rings — sound because every
+compare branch is Vincenty-gated by the same radius) and the foreign-id
+universe shrinks to (feed ∩ pruned-node ids), so no per-batch stage
+shuffles anything proportional to the feed or the node layer; the only
+full-width work left is map-only scans (measured: BENCH/BASELINE.md
+delta-sync section).
 """
 
 from __future__ import annotations
@@ -91,6 +98,36 @@ def affected_stop_ids(
     )
 
 
+def prune_state_to_stop_rings(
+    state: DataFrame, sub: DataFrame, radius_m: float = 400.0
+) -> DataFrame:
+    """Restrict the merged node state to cells that can influence the
+    re-compared stop subset: every compare branch (id match, conflict
+    probe, adoption) is Vincenty-gated by radius_m, so a node whose hex
+    cell is outside every sub-stop's adaptive ring cannot change any
+    sub stop's row — the SAME ring generator the radius join uses, so
+    the covering contract is shared. At cluster scale, persist the cell
+    as a partition column of the node log and this semi-join becomes
+    partition pruning on the scan itself; here it prunes the gated-node
+    projections and joins (the delta batch cost drops from
+    O(|node layer|) to O(k * ring) — measured in BENCH/BASELINE.md)."""
+    from ..functions.cells import make_hex_cell_udf, make_hex_ring_adaptive_udf
+    from ..operators.spatial_join import HEX_RES
+
+    hexc = make_hex_cell_udf(HEX_RES)
+    ring = make_hex_ring_adaptive_udf(radius_m, HEX_RES)
+    cells = (
+        sub.select(
+            F.explode(ring(hexc("lat", "lon"), F.col("lat"))).alias("_cell")
+        ).distinct()
+    )
+    return (
+        state.withColumn("_cell", hexc("lat", "lon"))
+        .join(F.broadcast(cells), "_cell", "left_semi")
+        .drop("_cell")
+    )
+
+
 def apply_update_batch(
     spark: SparkSession,
     updates: DataFrame,
@@ -101,6 +138,7 @@ def apply_update_batch(
     batch_id: int,
     run_id: str = "sync",
     radius_m: float = 400.0,
+    prune_node_cells: bool = True,
     **compare_kw,
 ) -> int:
     """One micro-batch of the incremental sync. `updates` rows use the
@@ -138,11 +176,35 @@ def apply_update_batch(
     if result_log.is_empty():
         # bootstrap: the first batch is the initial snapshot — every stop
         # needs a category (stops near NO node are legitimate
-        # UPLOAD_NO_CONFLICT rows and would otherwise never be emitted)
+        # UPLOAD_NO_CONFLICT rows and would otherwise never be emitted);
+        # no cell pruning here: the union of ALL stop rings is not a
+        # broadcastable set at feed scale, and the bootstrap is a full
+        # compare anyway
         sub = gtfs
+        known = gtfs
     else:
         touched = affected_stop_ids(gtfs, changed, radius_m)
         sub = gtfs.join(F.broadcast(touched), "gtfs_id", "left_semi")
+        known = gtfs
+        if prune_node_cells:
+            state = prune_state_to_stop_rings(state, sub, radius_m)
+            # shrink the foreign-ness id universe to (feed ∩ pruned-node
+            # ids): verdict-identical for every node still in state, and
+            # it turns the probe's anti-join build side from O(feed)
+            # into O(k * ring) — the full feed scan here is map-only
+            # (broadcast semi-join), never a shuffle
+            from ..functions.mappings import zero_pad_id
+
+            id_digits = compare_kw.get("id_digits", 4)
+            raw = F.col("tags").getItem("gtfs_id")
+            node_ids = (
+                state.filter(raw.isNotNull() & (raw != "missing"))
+                .select(zero_pad_id(raw, id_digits).alias("gtfs_id"))
+                .distinct()
+            )
+            known = gtfs.select("gtfs_id").join(
+                F.broadcast(node_ids), "gtfs_id", "left_semi"
+            )
     n_recompared = sub.count()
     if n_recompared and not result_done:
         fresh = compare_stops(
@@ -151,8 +213,9 @@ def apply_update_batch(
             agency_names,
             radius_m=radius_m,
             # the delta subset must judge foreign-ness against the FULL
-            # feed's id universe, not its own
-            known_ids=gtfs,
+            # feed's id universe (shrunk to the ids that can reach the
+            # pruned state when prune_node_cells — verdict-identical)
+            known_ids=known,
             **compare_kw,
         ).withColumn("update_seq", F.lit(bid))
         result_log.append(

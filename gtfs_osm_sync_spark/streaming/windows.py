@@ -151,22 +151,28 @@ def first_k_per_key(
     state_schema = T.StructType([T.StructField("n_seen", T.LongType())])
 
     def fn(key, pdfs, state: GroupState):
-        (n_seen,) = state.get if state.exists else (0,)
-        chunks = []
+        # n_start snapshots the quota at function entry: the emit count must
+        # be judged against rows seen in PRIOR batches only. Chunks skipped
+        # by the early-out below arrive AFTER the buffered ones, so their
+        # lengths go to `skipped`, never into the take computation — folding
+        # them into n_seen before `take` silently shrank the emit whenever a
+        # group spanned multiple Arrow chunks while quota remained.
+        (n_start,) = state.get if state.exists else (0,)
+        chunks, buffered, skipped = [], 0, 0
         for pdf in pdfs:
-            if order_col is None and n_seen + sum(len(c) for c in chunks) >= k:
-                n_seen += len(pdf)
+            if order_col is None and n_start + buffered >= k:
+                skipped += len(pdf)
                 continue
             chunks.append(pdf)
+            buffered += len(pdf)
         if chunks:
             batch = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
             if order_col is not None:
                 batch = batch.sort_values(order_col, kind="mergesort", ignore_index=True)
-            take = max(min(k - n_seen, len(batch)), 0)
-            n_seen += len(batch)
+            take = max(min(k - n_start, len(batch)), 0)
             if take > 0:
                 yield batch.iloc[:take]
-        state.update((n_seen,))
+        state.update((n_start + buffered + skipped,))
 
     return stream_df.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout

@@ -297,6 +297,33 @@ def test_redundant_node_modifies(spark):
     assert got["nFLAG"]["version"] == "2" and got["nFLAG"]["lat"] == 10.001
 
 
+def test_redundant_modifies_skip_adopted_stop(spark):
+    """An adopted stop enters noUpload before later nodes scan it
+    (CompareData.java:1230, :1060), so an id-less node whose only nearby
+    unmatched stop was ADOPTED must not gain a FIXME — mirrors
+    compare_stops' `rest` exclusion. A node near a genuinely unmatched
+    stop still fires (control)."""
+    stops = _mk_stops(
+        spark, [("0000001", 10.0, 20.0, "S1"), ("0000002", 30.0, 40.0, "S2")]
+    ).withColumn("public_transport", F.lit("platform"))
+    nodes = _mk_nodes(
+        spark,
+        [
+            # ~0.1 m twin adopts S1
+            ("nTWIN", 10.000001, 20.0,
+             {"operator": synth.COMPARE_AGENCY, "public_transport": "platform"}, 1),
+            # id-less node ~110 m from S1 ONLY: S1 adopted -> no FIXME
+            ("nBY1", 10.001, 20.0, {"name": "x"}, 2),
+            # id-less node ~110 m from unmatched S2 -> FIXME fires
+            ("nBY2", 30.001, 40.0, {"name": "y"}, 3),
+        ],
+    )
+    got = {r["osm_id"] for r in C.redundant_node_modifies(
+        stops, nodes, [synth.COMPARE_AGENCY], id_digits=7
+    ).collect()}
+    assert got == {"nBY2"}
+
+
 def test_operator_gate_regex_alias(spark):
     """Configured alias regexes match full-string case-insensitively
     (possibleOperatorRegexPattern, OperatorInfo.java:104-125)."""
@@ -337,9 +364,12 @@ def test_shuffle_path_has_no_broadcast_and_matches(spark):
 
 def test_stop_sync_document_composition(spark):
     """Full upload composition (UploadData.java:59-75): create = clean
-    new stops only; modify = MODIFY stops UNION node-side redundancy
-    FIXMEs; conflict stops stay out of the document; an unsupported API
-    version aborts before any work (HttpRequest.checkVersion)."""
+    new stops plus (by default) FIXME'd conflict stops, matching the
+    reference's default upload set (ReportViewer.java:1587-1603);
+    include_conflicts=False withholds them (acceptedOnly posture);
+    modify = MODIFY stops UNION node-side redundancy FIXMEs; an
+    unsupported API version aborts before any work
+    (HttpRequest.checkVersion)."""
     from gtfs_osm_sync_spark.pipeline import stop_sync_document
 
     stops = _mk_stops(
@@ -358,15 +388,23 @@ def test_stop_sync_document_composition(spark):
         ],
     )
     xml = stop_sync_document(stops, nodes, [synth.COMPARE_AGENCY], id_digits=7, changeset="7")
-    # create: only the clean stop, negative temp id
+    # create (reference default): clean stop AND the FIXME'd conflict stop
     create = xml.split("<create>")[1].split("</create>")[0]
     assert 'id="-1"' in create and 'v="Clean"' in create
-    assert "Flagged" not in create  # conflict stop withheld for review
+    assert 'v="Flagged"' in create and C.FIXME_REDUNDANT in create
     # modify: the id-matched stop (node identity) + the FIXME'd node
     modify = xml.split("<modify>")[1].split("</modify>")[0]
     assert 'id="n2"' in modify and 'v="Old"' in modify
     assert 'id="n3"' in modify and C.FIXME_REDUNDANT in modify
     assert "<delete>" not in xml
+
+    # acceptedOnly posture: conflict stops withheld for human review
+    xml_safe = stop_sync_document(
+        stops, nodes, [synth.COMPARE_AGENCY], id_digits=7, changeset="7",
+        include_conflicts=False,
+    )
+    create_safe = xml_safe.split("<create>")[1].split("</create>")[0]
+    assert 'v="Clean"' in create_safe and "Flagged" not in create_safe
 
     caps_bad = '<osm><api><version minimum="0.3" maximum="0.5"/></api></osm>'
     with pytest.raises(RuntimeError, match="version"):

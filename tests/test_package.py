@@ -36,3 +36,18 @@ def test_dist_zip_matches_source_tree():
         )
         stale = [n for n in names if z.read(n) != src[n]]
     assert not stale, f"stale zip members (rebuild with tools/package.py): {stale}"
+
+
+def test_no_compiled_artifacts_tracked():
+    """No __pycache__/.pyc may be tracked by git or shipped in the zip
+    (a compiled artifact can shadow edited source under --py-files)."""
+    import subprocess
+
+    tracked = subprocess.run(
+        ["git", "ls-files"], cwd=REPO, capture_output=True, text=True
+    ).stdout.splitlines()
+    bad = [f for f in tracked if "__pycache__" in f or f.endswith(".pyc")]
+    assert not bad, f"compiled artifacts tracked in git: {bad}"
+    with zipfile.ZipFile(ZIP) as z:
+        zbad = [n for n in z.namelist() if "__pycache__" in n or n.endswith(".pyc")]
+    assert not zbad, f"compiled artifacts in dist zip: {zbad}"

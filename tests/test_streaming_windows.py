@@ -176,6 +176,51 @@ def test_first_k_per_key_stateful_across_restart(spark, tmp_path):
     assert (2, 23) not in emitted  # quota exhausted in run 1
 
 
+def test_first_k_per_key_multi_chunk_arrow_batches(spark, tmp_path):
+    """Regression: when one key's micro-batch arrives as MULTIPLE Arrow
+    chunks (forced here with maxRecordsPerBatch=2), chunks skipped by the
+    quota early-out must not shrink the emit from the buffered chunks.
+    The pre-fix code folded skipped-chunk lengths into n_seen before
+    computing take, emitting 0 rows instead of k whenever a group
+    exceeded the Arrow per-batch record cap while quota remained."""
+    from gtfs_osm_sync_spark.streaming.windows import first_k_per_key
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+        ]
+    )
+    src = str(tmp_path / "fkc_src")
+    ckpt = str(tmp_path / "fkc_ckpt")
+    out: list = []
+    # one key, 7 rows in a single micro-batch -> chunks of 2/2/2/1
+    spark.createDataFrame(
+        [(1, e) for e in range(7)], schema
+    ).coalesce(1).write.parquet(src)
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        q = (
+            first_k_per_key(spark.readStream.schema(schema).parquet(src), k=2)
+            .writeStream.outputMode("append")
+            .foreachBatch(
+                lambda bdf, bid: out.append(sorted(map(tuple, bdf.collect())))
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    emitted = sorted(r for batch in out for r in batch)
+    assert len(emitted) == 2 and {u for u, _ in emitted} == {1}
+
+
 def test_first_k_per_key_order_col_deterministic(spark, tmp_path):
     """With order_col, 'first k' means smallest-k by that column within
     the batch, independent of file/row arrival order (without it, intra-

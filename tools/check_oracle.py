@@ -56,9 +56,11 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    n_run = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -105,7 +107,7 @@ def main() -> int:
         else:
             failures.append(name)
 
-    print(f"\n{len(queries) - len(failures)}/{len(queries)} queries match")
+    print(f"\n{n_run - len(failures)}/{n_run} queries match")
     return 1 if failures else 0
 
 
