@@ -1321,8 +1321,10 @@ def _sf_n(sf_dir: str, per_unit: int = 200_000, lo: int = 2_000) -> int:
 # golden-verified in pytest (numpy Vincenty, HART fixture, pixel
 # equality). The literal does not independently re-derive semantics (the
 # pytest oracles do); it makes ANY later drift in these operators flip
-# the driver's value-hash. Large-row-set g-queries (g02 kNN pairs,
-# g06/g07 ANN tables) stay rows-only with in-plan recall floors.
+# the driver's value-hash. Large-row-set outputs digest to per-group
+# checksums first (g02's ranked pair set -> per-rank key/distance sums);
+# only the two ANN RECALL queries (g06/g07) stay rows-only, with in-plan
+# recall floors — their bucketing is seed-dependent by design.
 # ---------------------------------------------------------------------------
 
 
@@ -1347,10 +1349,29 @@ def g01(spark, sf_dir):
     return out.groupBy("category").agg(F.count("*").alias("n")).orderBy("category")
 
 
-@register("g02_vincenty_knn", None)
+@register(
+    "g02_vincenty_knn",
+    """
+    SELECT rank_k, CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(cust_sum AS BIGINT) AS cust_sum,
+           CAST(supp_sum AS BIGINT) AS supp_sum,
+           CAST(dm_sum AS BIGINT) AS dm_sum FROM (VALUES
+      (1, 412, 301330, 20322, 36362584),
+      (2, 2, 1520, 48, 377121)
+    ) AS t(rank_k, n_pairs, cust_sum, supp_sum, dm_sum) ORDER BY rank_k
+    """,
+)
 def g02(spark, sf_dir):
     """kNN ranked by the vectorized Vincenty pandas UDF (the reference's
-    exact metric, OsmDistance.java:28-82) instead of haversine."""
+    exact metric, OsmDistance.java:28-82) instead of haversine —
+    digested to a per-rank histogram with key/distance checksums
+    (decimeter-integer sums, exact long arithmetic) so the full ranked
+    pair SET is hash-checked by the literal oracle pinned at the driver
+    gate's sf=0.01 scale (g01 convention; the pairwise semantics are
+    brute-force-verified against numpy Vincenty in
+    tests/test_spatial_join.py). Any drift in the Vincenty constants,
+    the ring prejoin, the radius gate, or the tie-break ordering changes
+    some checksum."""
     from .functions.geo import vincenty_m_udf
 
     cust = _cust_coords(spark, sf_dir)
@@ -1360,10 +1381,20 @@ def g02(spark, sf_dir):
         "vdist_m", vincenty_m_udf(F.col("lat"), F.col("lon"), F.col("r_lat"), F.col("r_lon"))
     ).filter(F.col("vdist_m") < RADIUS_M)
     w = W.partitionBy("c_custkey").orderBy(F.asc("vdist_m"), F.asc("s_suppkey"))
-    return (
+    ranked = (
         j.withColumn("rank_k", F.row_number().over(w))
         .filter(F.col("rank_k") <= 5)
         .select("c_custkey", "s_suppkey", "rank_k", F.round("vdist_m", 1).alias("vdist_m"))
+    )
+    return (
+        ranked.groupBy("rank_k")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("c_custkey").cast("long").alias("cust_sum"),
+            F.sum("s_suppkey").cast("long").alias("supp_sum"),
+            F.sum(F.round(F.col("vdist_m") * 10).cast("long")).alias("dm_sum"),
+        )
+        .orderBy("rank_k")
     )
 
 

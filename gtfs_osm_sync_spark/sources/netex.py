@@ -72,8 +72,22 @@ def parse_netex_quays(xml_text: str) -> list[tuple]:
     return rows
 
 
-def read_netex_quays(spark: SparkSession, path: str) -> DataFrame:
-    """Directory/glob of NeTEx XML files -> quays dimension DataFrame."""
+def read_netex_quays(
+    spark: SparkSession, path: str, split_bytes: int | None = None
+) -> DataFrame:
+    """Directory/glob of NeTEx XML files -> quays dimension DataFrame.
+
+    Default: one wholetext task per file (NeTEx ships one modest export
+    per agency in practice — the reference loads exactly one,
+    GTFSReadIn.java:790-804). split_bytes=N fans ONE giant export over
+    ceil(size/N) byte-range tasks, reusing the osmxml boundary scan with
+    '<StopPlace' as the top-level tag; `path` must then be a concrete
+    file path (or list), and elements must carry the default namespace
+    (a prefixed '<netex:StopPlace' is invisible to the raw byte scan —
+    such files fall back to split_bytes=None, enforced by a clear
+    ValueError from the chunk parse)."""
+    if split_bytes:
+        return _read_netex_split(spark, path, split_bytes)
     docs = spark.read.text(path, wholetext=True)
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -85,6 +99,72 @@ def read_netex_quays(spark: SparkSession, path: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return docs.mapInPandas(parse, QUAYS_SCHEMA)
+
+
+_SP_TAGS = (b"<StopPlace",)
+
+
+def _parse_netex_range(path: str, start: int, end: int) -> list[tuple]:
+    """Parse the StopPlace elements whose boundary falls in [start, end):
+    same slicing contract as osmxml._parse_range, with the fragment
+    trimmed to the last '</StopPlace>' (between consecutive StopPlaces a
+    NeTEx export holds only whitespace — they share one stopPlaces
+    container — so the trim only drops the trailing parent close tags of
+    the final chunk)."""
+    import os
+
+    from .osmxml import _find_boundary
+
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        b0 = _find_boundary(f, start, tags=_SP_TAGS)
+        if b0 is None or b0 >= end:
+            return []
+        b1 = _find_boundary(f, end, tags=_SP_TAGS) if end < size else None
+        f.seek(b0)
+        data = f.read((b1 if b1 is not None else size) - b0)
+    k = data.rfind(b"</StopPlace>")
+    if k < 0:
+        return []
+    data = data[: k + len(b"</StopPlace>")]
+    try:
+        return parse_netex_quays(
+            (b"<root>" + data + b"</root>").decode("utf-8", errors="replace")
+        )
+    except ET.ParseError as ex:
+        raise ValueError(
+            f"byte-range chunk [{start},{end}) of {path} failed to parse "
+            f"({ex}). Namespace-prefixed StopPlace tags or interleaved "
+            "containers defeat the raw boundary scan — re-read with "
+            "split_bytes=None."
+        ) from ex
+
+
+def _read_netex_split(
+    spark: SparkSession, paths: list[str] | str, split_bytes: int
+) -> DataFrame:
+    import os
+
+    if isinstance(paths, str):
+        paths = [paths]
+    tasks = []
+    for p in paths:
+        size = os.path.getsize(p)
+        for s in range(0, max(size, 1), split_bytes):
+            tasks.append((p, s, min(s + split_bytes, size)))
+    files = spark.createDataFrame(
+        tasks, "path string, start long, end long"
+    ).repartition(max(len(tasks), 1))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in QUAYS_SCHEMA]
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                rows = _parse_netex_range(row.path, int(row.start), int(row.end))
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(run, QUAYS_SCHEMA)
 
 
 def enrich_stops_with_netex(stops: DataFrame, quays: DataFrame) -> DataFrame:

@@ -138,7 +138,7 @@ _SKIP_REGIONS = ((b"<!--", b"-->"), (b"<![CDATA[", b"]]>"))
 _BACKSCAN = 1 << 16  # how far before pos a region opener is visible
 
 
-def _find_boundary(f, pos: int) -> int | None:
+def _find_boundary(f, pos: int, tags: tuple = _BOUNDARY_TAGS) -> int | None:
     """First byte offset >= pos where a top-level element starts (may be
     up to 2 bytes earlier when a skip-region closer straddles pos; the
     function is deterministic per pos, so adjacent chunks' end/start
@@ -193,7 +193,7 @@ def _find_boundary(f, pos: int) -> int | None:
             # earliest special token at/after i: a delimited boundary
             # tag or a comment/CDATA opener (which wins if earlier)
             cands = []
-            for t in _BOUNDARY_TAGS:
+            for t in tags:
                 j = buf.find(t, i)
                 while 0 <= j < limit:
                     nxt = buf[j + len(t) : j + len(t) + 1]

@@ -26,13 +26,22 @@ At cluster scale the delta path turns a full O(stops) re-compare into
 O(stops near changed nodes): the affected-stop set comes from the same
 hex-ring prejoin the batch compare uses, so a batch of k node updates
 touches O(k * ring_density) stops regardless of feed size. The node
-side is bounded the same way: the merged state is cell-pruned to the
-affected stops' rings (prune_state_to_stop_rings — sound because every
-compare branch is Vincenty-gated by the same radius) and the foreign-id
-universe shrinks to (feed ∩ pruned-node ids), so no per-batch stage
-shuffles anything proportional to the feed or the node layer; the only
-full-width work left is map-only scans (measured: BENCH/BASELINE.md
-delta-sync section).
+side is bounded by the LOG LAYOUT: hex_cell is stamped per row at
+append time (O(batch)) and the log parquet should be partitioned by
+the COARSE_RES cell — the delta then partition-prunes the scan to the
+affected rings (coarse_partition_cells), semi-joins the stored fine
+cell (prune_state_to_stop_rings — sound because every compare branch
+is Vincenty-gated by the same radius), and shrinks the foreign-id
+universe to (feed ∩ pruned-node ids). No per-batch stage shuffles
+anything proportional to the feed or node layer; the full-width work
+left is map-only column scans. Measured at 4M stops / 4.3M nodes / 8
+cores (BENCH/delta_sync.json): k=100 updates -> 21.3 s vs 57.4 s full
+re-compare, with the pruned scan 17% under the full-state read; the
+stored column matters — recomputing cells over the state per batch was
+NET-NEGATIVE (the Arrow pass cost more than the shrunken joins saved).
+Wide batches fall back to the plain full compare
+(full_recompare_frac): at k=10k (24% of stops affected) the delta
+machinery has no selectivity left and loses to the full run.
 """
 
 from __future__ import annotations
@@ -86,7 +95,15 @@ def affected_stop_ids(
         .withColumn("hex_cell", F.explode(ring(F.col("_c"), F.col("n_lat"))))
         .drop("_c")
     )
-    g = gtfs.select("gtfs_id", "lat", "lon").withColumn("hex_cell", hexc("lat", "lon"))
+    # a feed carrying a STORED hex_cell (stamped at ingest) skips the
+    # per-batch cell recompute over all stops — the same stored-column
+    # rule as prune_state_to_stop_rings
+    if "hex_cell" in gtfs.columns:
+        g = gtfs.select("gtfs_id", "lat", "lon", "hex_cell")
+    else:
+        g = gtfs.select("gtfs_id", "lat", "lon").withColumn(
+            "hex_cell", hexc("lat", "lon")
+        )
     return (
         g.join(F.broadcast(ch), "hex_cell")
         .filter(
@@ -106,26 +123,62 @@ def prune_state_to_stop_rings(
     probe, adoption) is Vincenty-gated by radius_m, so a node whose hex
     cell is outside every sub-stop's adaptive ring cannot change any
     sub stop's row — the SAME ring generator the radius join uses, so
-    the covering contract is shared. At cluster scale, persist the cell
-    as a partition column of the node log and this semi-join becomes
-    partition pruning on the scan itself; here it prunes the gated-node
-    projections and joins (the delta batch cost drops from
-    O(|node layer|) to O(k * ring) — measured in BENCH/BASELINE.md)."""
+    the covering contract is shared.
+
+    The node cell must be a STORED column (`hex_cell`, stamped at log
+    append time — apply_update_batch does this) for the prune to pay:
+    the filter is then a broadcast semi-join on a scanned column (plain
+    codegen; with the log parquet partitioned/bucketed by a cell prefix
+    it becomes partition pruning and skips I/O too). Recomputing the
+    cell per batch was measured NET-NEGATIVE at 4M stops/4.3M nodes —
+    the Arrow UDF pass over the full state costs more than the shrunken
+    joins save (22.1 s vs 16.0 s unpruned; BENCH/delta_sync.json) — so
+    a state without the column is returned unpruned rather than paying
+    for a recompute."""
     from ..functions.cells import make_hex_cell_udf, make_hex_ring_adaptive_udf
     from ..operators.spatial_join import HEX_RES
 
+    if "hex_cell" not in state.columns:
+        return state
     hexc = make_hex_cell_udf(HEX_RES)
     ring = make_hex_ring_adaptive_udf(radius_m, HEX_RES)
     cells = (
         sub.select(
-            F.explode(ring(hexc("lat", "lon"), F.col("lat"))).alias("_cell")
+            F.explode(ring(hexc("lat", "lon"), F.col("lat"))).alias("hex_cell")
         ).distinct()
     )
-    return (
-        state.withColumn("_cell", hexc("lat", "lon"))
-        .join(F.broadcast(cells), "_cell", "left_semi")
-        .drop("_cell")
+    return state.join(F.broadcast(cells), "hex_cell", "left_semi")
+
+
+# partition-column resolution for the node log layout: res 1 cells are
+# ~455k km^2 (edge 174 m * sqrt(7)^8 ~ 420 km), ~1,100 land partitions
+# planet-wide — coarse enough that partitionBy stays at file-count sanity,
+# fine enough that a delta batch's rings touch a handful of partitions
+COARSE_RES = 1
+
+
+def coarse_partition_cells(
+    sub: DataFrame, radius_m: float = 400.0, res: int = COARSE_RES
+) -> list[int]:
+    """Driver-side bounded list of COARSE hex cells covering every stop
+    in `sub` out to radius_m (same adaptive-ring covering contract as
+    the probe). A node log written `partitionBy` this coarse cell lets
+    the delta re-compare filter on the partition column — the scan
+    itself skips every partition outside the affected rings (real I/O
+    pruning, not just a post-scan filter). O(k * ring) values — a
+    bounded driver collect, same contract as the bbox agg."""
+    from ..functions.cells import make_hex_cell_udf, make_hex_ring_adaptive_udf
+
+    hexc = make_hex_cell_udf(res)
+    ring = make_hex_ring_adaptive_udf(radius_m, res)
+    rows = (
+        sub.select(
+            F.explode(ring(hexc("lat", "lon"), F.col("lat"))).alias("c")
+        )
+        .distinct()
+        .collect()
     )
+    return [r["c"] for r in rows]
 
 
 def apply_update_batch(
@@ -139,6 +192,7 @@ def apply_update_batch(
     run_id: str = "sync",
     radius_m: float = 400.0,
     prune_node_cells: bool = True,
+    full_recompare_frac: float | None = 0.1,
     **compare_kw,
 ) -> int:
     """One micro-batch of the incremental sync. `updates` rows use the
@@ -153,14 +207,31 @@ def apply_update_batch(
     effectively-once append of the fresh rows (stamped with update_seq)
     to the result log. The two appends are separate atomic commits with
     separate ledgers, so a crash between them replays only the missing
-    half. Returns the number of re-compared stops."""
+    half. Returns the number of re-compared stops.
+
+    full_recompare_frac: when a batch's affected-stop set exceeds this
+    fraction of the feed, fall back to a plain full re-compare — the
+    delta machinery (affected scan, pruning, id shrink) has no
+    selectivity left to pay for itself. Measured at 4M stops/8 cores:
+    k=100 updates -> delta 21.3 s vs full 57.4 s, but k=10k (24% of
+    stops affected) -> delta 63.4 s vs full 57.4 s
+    (BENCH/delta_sync.json). None disables the fallback."""
     bid = int(batch_id)
     node_done = bid in node_log.processed_chunks(run_id)
     result_done = bid in result_log.processed_chunks(run_id + "_results")
     if node_done and result_done:
         return 0  # fully replayed micro-batch
 
+    from ..functions.cells import make_hex_cell_udf
+    from ..operators.spatial_join import HEX_RES
+
     upd = updates.withColumn("update_seq", F.lit(bid))
+    if "hex_cell" not in upd.columns:
+        # stamp the cell ONCE at ingest (O(batch), not O(state)): the
+        # delta prune then filters the merged state on a stored column
+        upd = upd.withColumn(
+            "hex_cell", make_hex_cell_udf(HEX_RES)("lat", "lon")
+        )
     if not node_done:
         node_log.append(upd, checkpoint={"run_id": run_id, "chunks": [bid]})
     log_df = node_log.read(spark)
@@ -186,7 +257,11 @@ def apply_update_batch(
         touched = affected_stop_ids(gtfs, changed, radius_m)
         sub = gtfs.join(F.broadcast(touched), "gtfs_id", "left_semi")
         known = gtfs
-        if prune_node_cells:
+        if full_recompare_frac is not None:
+            n_sub, n_feed = sub.count(), gtfs.count()
+            if n_sub > full_recompare_frac * n_feed:
+                sub = gtfs  # wide batch: the plain full compare is cheaper
+        if sub is not gtfs and prune_node_cells:
             state = prune_state_to_stop_rings(state, sub, radius_m)
             # shrink the foreign-ness id universe to (feed ∩ pruned-node
             # ids): verdict-identical for every node still in state, and

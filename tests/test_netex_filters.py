@@ -56,6 +56,46 @@ def test_netex_enrichment(spark, tmp_path):
     assert out["Q1"] == "Platform A" and out["X9"] == "keep me"
 
 
+def test_netex_split_matches_wholetext(spark, tmp_path):
+    """Byte-range fan-out of ONE large NeTEx export (split on
+    '<StopPlace' boundaries via the osmxml scanner) yields the same quay
+    table as the single-task wholetext parse, at several chunk sizes."""
+    sps = "\n".join(
+        f"""        <StopPlace id="SP{i}">
+          <Name>Station {i}</Name>
+          <quays>
+            <Quay id="Q{i}a"><Name>Plat {i}A</Name>
+              <Centroid><Location>
+                <Longitude>{-82.0 - i * 0.01}</Longitude><Latitude>{28.0 + i * 0.01}</Latitude>
+              </Location></Centroid>
+            </Quay>
+            <Quay id="Q{i}b"></Quay>
+          </quays>
+        </StopPlace>"""
+        for i in range(40)
+    )
+    doc = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<PublicationDelivery xmlns="http://www.netex.org.uk/netex">\n'
+        "  <dataObjects><SiteFrame><stopPlaces>\n"
+        f"{sps}\n"
+        "      </stopPlaces></SiteFrame></dataObjects>\n"
+        "</PublicationDelivery>\n"
+    )
+    p = tmp_path / "big_netex.xml"
+    p.write_text(doc)
+    whole = sorted(map(tuple, NX.read_netex_quays(spark, str(p)).collect()))
+    assert len(whole) == 80
+    import os
+
+    size = os.path.getsize(p)
+    for nbytes in (999, 5000, size // 2 + 1):
+        got = sorted(map(tuple, NX.read_netex_quays(
+            spark, str(p), split_bytes=nbytes
+        ).collect()))
+        assert got == whole, f"split_bytes={nbytes} diverged"
+
+
 def test_text_report(spark):
     df = spark.createDataFrame(
         [

@@ -271,6 +271,34 @@ def test_split_parse_matches_single_task(spark):
     assert len(a) == len(b) and a == b
 
 
+def test_find_boundary_unit_cases():
+    """Pure-python edge cases of the byte-range boundary scanner:
+    comment/CDATA decoys, a scan position INSIDE a comment (bounded
+    backward scan), a close-marker straddling the scan position, and
+    custom tags with delimiter discrimination (StopPlace vs
+    StopPlaceRef)."""
+    import io
+
+    from gtfs_osm_sync_spark.sources.osmxml import _find_boundary
+
+    def fb(data, pos, tags=None):
+        f = io.BytesIO(data)
+        return _find_boundary(f, pos, tags=tags) if tags else _find_boundary(f, pos)
+
+    d = b'<osm>  <!-- decoy <node id=1 --> <node id="2"/></osm>'
+    assert fb(d, 0) == d.find(b"<node", 30)
+    d2 = b'<osm><x><![CDATA[ <way id=9 ]]></x><way id="3"/></osm>'
+    assert fb(d2, 0) == d2.find(b"<way", 31)
+    d3 = b'<osm><!-- xxxx <node id=7/> yyyy --><node id="8"/></osm>'
+    real = d3.find(b"<node", d3.find(b"-->"))
+    assert fb(d3, d3.find(b"xxxx")) == real  # pos inside the comment
+    assert fb(d3, d3.find(b"-->") + 1) == real  # pos inside the closer
+    assert fb(b'<osm><node id="1"/></osm>', 0) == 5
+    d4 = b'<PD><sp><StopPlace id="a"/><StopPlaceRef/><StopPlace id="b"/></sp></PD>'
+    assert fb(d4, 0, tags=(b"<StopPlace",)) == d4.find(b"<StopPlace")
+    assert fb(d4, d4.find(b"Ref"), tags=(b"<StopPlace",)) == d4.find(b'<StopPlace id="b"')
+
+
 def test_split_boundary_skips_comments_and_cdata(spark, tmp_path):
     """A literal '<node'/'<way' inside an XML comment or CDATA section
     must not be taken as a top-level element boundary by the byte-range

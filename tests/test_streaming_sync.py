@@ -111,6 +111,26 @@ def test_incremental_equals_full_batch(spark, tmp_path):
     assert cats["0000005"][0] == "UPLOAD_NO_CONFLICT"    # match moved away b2
 
 
+def test_incremental_noprune_equals_full_batch(spark, tmp_path):
+    """prune_node_cells=False (the pre-pruning formulation, kept for
+    state layouts without cell locality) must produce the same merged
+    results as the full batch compare — and therefore as the default
+    pruned path."""
+    stops, batches = _world(spark)
+    nlog = SnapTable(str(tmp_path / "nodes_np"))
+    rlog = SnapTable(str(tmp_path / "results_np"))
+    for bid, b in enumerate(batches):
+        S.apply_update_batch(
+            spark, b, nlog, rlog, stops, [AG], bid,
+            prune_node_cells=False, id_digits=synth._CMP_DIGITS,
+        )
+    merged = S.current_results(rlog, spark)
+    full = C.compare_stops(
+        stops, S.current_nodes(nlog.read(spark)), [AG], id_digits=synth._CMP_DIGITS
+    )
+    assert _sorted_rows(merged) == _sorted_rows(full)
+
+
 def test_replayed_batch_is_noop(spark, tmp_path):
     stops, batches = _world(spark)
     nlog = SnapTable(str(tmp_path / "nodes"))

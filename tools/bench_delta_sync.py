@@ -6,16 +6,22 @@ node state — wall-time grows with k, not with N, and sits orders below
 the full re-compare at small k.
 
 Method (same hygiene as tools/bench_compare.py: staged tmpfs world,
-fresh JVM per phase, taskset-pinned, best-of-3):
+fresh JVM per phase, taskset-pinned, best-of-3). The node state uses
+the layout apply_update_batch prescribes: hex_cell stamped per row at
+append, parquet partitioned by the COARSE_RES cell.
   full      — batch compare_stops over all N stops (shuffle path), the
               cost the delta path avoids
-  delta(k)  — k nodes move ~100 m; affected_stop_ids -> stop subset ->
-              prune_state_to_stop_rings + known-id shrink ->
-              compare_stops on the subset; measured for k in {100, 10k}
-  delta_noprune(k) — ablation: same subset compare WITHOUT the node-side
-              cell pruning (the state scan stays O(|node layer|))
+  delta(k)  — k nodes move ~100 m; affected_stop_ids (stored stop
+              cells) -> stop subset -> coarse_partition_cells filter
+              (real partition pruning on the scan) ->
+              prune_state_to_stop_rings (stored-column semi-join) +
+              known-id shrink -> compare_stops on the subset;
+              measured for k in {100, 10k}
+  delta_noprune(k) — ablation: same subset compare reading the FULL
+              state (the scan stays O(|node layer|))
 
-Appends a section to BENCH/BASELINE.md and prints one JSON line.
+Writes BENCH/delta_sync.json (rendered into BENCH/BASELINE.md by
+tools/bench_scaling.regen_md) and prints one JSON line.
 
 Usage: python tools/bench_delta_sync.py [n_stops] [cpus]
 """
@@ -29,6 +35,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 _STAGER = r"""
 import math, sys
@@ -63,7 +70,14 @@ spark = get_spark(cpus=cpus, shuffle_partitions=cpus * 4,
                   extra_conf={{"spark.local.dir": f"/dev/shm/bds_{{cpus}}",
                               "spark.sql.join.preferSortMergeJoin": "false"}})
 stage = {stage_dir!r}
-stops = spark.read.parquet(stage + "/stops")
+from gtfs_osm_sync_spark.functions.cells import make_hex_cell_udf
+from gtfs_osm_sync_spark.operators.spatial_join import HEX_RES
+_hexc = make_hex_cell_udf(HEX_RES)
+# feed with its cell stamped at ingest (stored-column contract): the
+# affected-stop scan then reads a column instead of recomputing 4M cells
+# per micro-batch
+stops = (spark.read.parquet(stage + "/stops")
+         .withColumn("hex_cell", _hexc("lat", "lon")).localCheckpoint())
 nodes = spark.read.parquet(stage + "/nodes")
 n_nodes = nodes.count()
 
@@ -90,6 +104,12 @@ if {run_full}:
                               broadcast_stops=False))
     out["full_sec"] = timed(full, trials=2)
 else:
+    from gtfs_osm_sync_spark.functions.cells import make_hex_cell_udf
+    from gtfs_osm_sync_spark.operators.spatial_join import HEX_RES
+    from gtfs_osm_sync_spark.streaming.sync import (
+        COARSE_RES, coarse_partition_cells)
+    hexc = make_hex_cell_udf(HEX_RES)
+    coarse = make_hex_cell_udf(COARSE_RES)
     for k in {ks}:
         # deterministic k-node sample: every (n_nodes//k)-th by numeric id
         step = max(n_nodes // k, 1)
@@ -97,25 +117,43 @@ else:
         moved = (nodes.filter(idnum % step == 0)
                  .withColumn("lat", F.col("lat") + F.lit(0.0009)))
         kept = nodes.join(moved.select("osm_id"), "osm_id", "left_anti")
-        state0 = kept.unionByName(moved).localCheckpoint()
+        # the node LOG LAYOUT apply_update_batch prescribes: hex_cell
+        # stamped at append, parquet partitioned by the coarse cell so a
+        # partition filter prunes the SCAN (the 100 TB deployment shape)
+        state_path = stage + f"/state_k{{k}}"
+        (kept.unionByName(moved)
+         .withColumn("hex_cell", hexc("lat", "lon"))
+         .withColumn("cell_part", coarse("lat", "lon"))
+         .write.mode("overwrite").partitionBy("cell_part").parquet(state_path))
+        state_full = spark.read.parquet(state_path)
+        out.setdefault("n_state_partitions", state_full.select("cell_part")
+                       .distinct().count())
         changed0 = (nodes.join(moved.select("osm_id"), "osm_id", "left_semi")
                     .select("lat", "lon")
                     .unionByName(moved.select("lat", "lon"))
                     .localCheckpoint())
         k_actual = moved.count()
 
-        def delta(prune, state=state0, changed=changed0):
+        def delta(prune, changed=changed0, path=state_path):
             touched = affected_stop_ids(stops, changed)
-            sub = stops.join(F.broadcast(touched), "gtfs_id", "left_semi")
-            st, known = state, stops
+            sub = (stops.join(F.broadcast(touched), "gtfs_id", "left_semi")
+                   .localCheckpoint())
+            known = stops
             if prune:
-                st = prune_state_to_stop_rings(state, sub)
+                # partition pruning: only the coarse cells in the
+                # affected rings are scanned at all
+                vals = coarse_partition_cells(sub)
+                st = (spark.read.parquet(path)
+                      .filter(F.col("cell_part").isin(vals)))
+                st = prune_state_to_stop_rings(st, sub)
                 raw = F.col("tags").getItem("gtfs_id")
                 node_ids = (st.filter(raw.isNotNull() & (raw != "missing"))
                             .select(zero_pad_id(raw, synth._CMP_DIGITS)
                                     .alias("gtfs_id")).distinct())
                 known = stops.select("gtfs_id").join(
                     F.broadcast(node_ids), "gtfs_id", "left_semi")
+            else:
+                st = spark.read.parquet(path)
             cmp = compare_stops(sub, st,
                                 agency_names=[synth.COMPARE_AGENCY],
                                 id_digits=synth._CMP_DIGITS,
@@ -180,38 +218,18 @@ def main() -> None:
         "n_stops": n_stops,
         "cpus": cpus,
         "full_sec": full["full_sec"],
+        "n_state_partitions": delta.get("n_state_partitions"),
         **{k: v for k, v in delta.items() if k.startswith("k")},
         "wall_sec": round(time.time() - t0, 1),
     }
-    rows = "\n".join(
-        f"| {v['k_nodes']:,} | {v['recompared_stops']:,} | {v['delta_sec']} | "
-        f"{v['delta_noprune_sec']} | {round(full['full_sec'] / v['delta_sec'], 1)}x |"
-        for k, v in delta.items() if k.startswith("k")
-    )
-    section = f"""
+    # recorded as a standalone artifact; BENCH/BASELINE.md renders it on
+    # regen (tools/bench_scaling.regen_md) so the evidence survives
+    # ledger-driven regeneration
+    with open(os.path.join(REPO, "BENCH", "delta_sync.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    import bench_scaling  # noqa: PLC0415 — same tools/ dir
 
-## Incremental-sync delta path ({n_stops:,}-stop world, {cpus} cores, fresh JVM per phase, best-of-3)
-
-k nodes move ~100 m; the delta re-compare touches only stops within the
-400 m ring of a moved node's old/new position, against a node state
-cell-pruned to those stops' rings (prune_state_to_stop_rings) with the
-foreign-id universe shrunk to (feed ∩ pruned-node ids). `no-prune` is
-the ablation keeping the full node layer in the compare.
-
-| k nodes | re-compared stops | delta (s) | no-prune (s) | vs full {full['full_sec']} s |
-|---|---|---|---|---|
-{rows}
-
-Delta wall-time scales with k (the re-compared-stop count), not the
-{n_stops:,}-stop feed; remaining fixed cost is the map-only
-affected-stop ring scan over the feed (no shuffle wider than k * ring).
-
-```json
-{json.dumps(summary, indent=2)}
-```
-"""
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
-        f.write(section)
+    bench_scaling.regen_md()
     print(json.dumps(summary))
 
 

@@ -260,6 +260,50 @@ def load_ledger() -> list[dict]:
     return runs
 
 
+def _delta_sync_section() -> str:
+    """Render the incremental-sync delta evidence from
+    BENCH/delta_sync.json (written by tools/bench_delta_sync.py), so the
+    section survives ledger-driven regeneration. Empty if never run."""
+    path = os.path.join(REPO, "BENCH", "delta_sync.json")
+    if not os.path.exists(path):
+        return ""
+    with open(path) as f:
+        d = json.load(f)
+    ks = {k: v for k, v in d.items() if k.startswith("k") and isinstance(v, dict)}
+    rows = "\n".join(
+        f"| {v['k_nodes']:,} | {v['recompared_stops']:,} | {v['delta_sec']} | "
+        f"{v['delta_noprune_sec']} | {round(d['full_sec'] / v['delta_sec'], 1)}x |"
+        for v in ks.values()
+    )
+    return f"""## Incremental-sync delta path ({d['n_stops']:,}-stop world, {d['cpus']} cores, fresh JVM per phase, best-of-3)
+
+k nodes move ~100 m; the delta re-compare touches only stops within the
+400 m ring of a moved node's old/new position. The node log uses the
+layout apply_update_batch prescribes — hex_cell stamped per row at
+append, parquet partitioned by the COARSE_RES ({d.get('n_state_partitions', '?')}-partition)
+cell — so the delta scan partition-prunes to the affected rings
+(coarse_partition_cells), then semi-joins the stored fine cell
+(prune_state_to_stop_rings), with the foreign-id universe shrunk to
+(feed ∩ pruned-node ids). `no-prune` reads the full state (ablation).
+Full re-compare of the same world: **{d['full_sec']} s**.
+
+| k nodes | re-compared stops | delta (s) | no-prune (s) | speedup vs full |
+|---|---|---|---|---|
+{rows}
+
+Findings: at k=100 the delta runs {round(d['full_sec'] / d['k100']['delta_sec'], 1)}x
+under the full re-compare and the pruned scan beats the full-state read;
+the stored cell column is what makes pruning pay (recomputing cells over
+the state per batch measured net-negative). At k=10k — {round(100 * d['k10000']['recompared_stops'] / d['n_stops'])}% of the feed
+affected — the delta machinery has no selectivity left and LOSES to the
+full run, so apply_update_batch falls back to a plain full compare above
+`full_recompare_frac` (default 10%) of affected stops. Remaining fixed
+cost at small k is the map-only affected-stop ring scan over the feed.
+Raw JSON: BENCH/delta_sync.json.
+
+"""
+
+
 def regen_md(lo: int = 2, hi: int = 8) -> None:
     """Rebuild BENCH/BASELINE.md from the FULL ledger: one row per run,
     per-phase medians, pooled best-per-level throughputs."""
@@ -267,7 +311,12 @@ def regen_md(lo: int = 2, hi: int = 8) -> None:
 
     def cell(r, p):
         e = r.get("eff", {}).get(p)
-        return f"{e:.3f}" if e is not None else "—"
+        if e is None:
+            return "—"
+        dc = (r.get("eff_drift_corrected") or {}).get(p)
+        # dc = drift-corrected: each leg's wall scaled by that leg's
+        # measured host speed (single-task probe recorded in the run)
+        return f"{e:.3f}" + (f" (dc {dc:.3f})" if dc is not None else "")
 
     rows_md = []
     for r in runs:
@@ -316,7 +365,14 @@ measured the SAME build at 0.59-0.94 ingest efficiency across one day),
 so no single pairing is trustworthy: every run is recorded in
 BENCH/runs.jsonl and the statistic of record is the PER-PHASE MEDIAN
 across all runs of the current code family. Efficiency =
-(throughput_hi/throughput_lo)/({hi}/{lo}).
+(throughput_hi/throughput_lo)/({hi}/{lo}). Runs from round 4 on also
+record a per-leg host-speed probe (single-task xxhash fold, bench.py's
+drift probe); "(dc x)" beside a compare efficiency is the
+drift-corrected value — each leg's wall scaled by its own probe — which
+isolates engine scaling from the host speeding up or slowing down
+BETWEEN the two legs (r4.cmp4's 0.646 raw was exactly that: its 2-core
+leg ran on the fastest host window ever recorded, 165.8 s, while its
+8-core leg 20 minutes later hit a slow one).
 
 Worlds: flagship pipeline on a density-constant world of 2,500,000
 images (spread_scale = sqrt(n/500k), urban-skewed, deterministic);
@@ -377,7 +433,7 @@ standalone JVM): struct median 0.993 s vs window 1.017 s — a local tie;
 struct is kept because its map-side partial agg shrinks pairs before the
 only shuffle, which wins at cluster scale.
 
-## Reference comparison
+{_delta_sync_section()}## Reference comparison
 
 The reference (gtfs-osm-sync) computes an O(N*M) nested Vincenty loop on
 one JVM (CompareData.java:1016-1069) over 3,802 stops and publishes no
