@@ -87,12 +87,17 @@ def _sorted_rows(df):
 
 
 def test_incremental_equals_full_batch(spark, tmp_path):
+    # full_recompare_frac=None forces the DELTA machinery (affected-stop
+    # subset + cell prune + id shrink) — at this 5-stop scale the default
+    # 10% fallback would short-circuit every batch to a full compare and
+    # silently un-test the delta path
     stops, batches = _world(spark)
     nlog = SnapTable(str(tmp_path / "nodes"))
     rlog = SnapTable(str(tmp_path / "results"))
     for bid, b in enumerate(batches):
         S.apply_update_batch(
-            spark, b, nlog, rlog, stops, [AG], bid, id_digits=synth._CMP_DIGITS
+            spark, b, nlog, rlog, stops, [AG], bid,
+            full_recompare_frac=None, id_digits=synth._CMP_DIGITS,
         )
         # invariant after EVERY batch, not just the last one
         merged = S.current_results(rlog, spark)
@@ -122,8 +127,32 @@ def test_incremental_noprune_equals_full_batch(spark, tmp_path):
     for bid, b in enumerate(batches):
         S.apply_update_batch(
             spark, b, nlog, rlog, stops, [AG], bid,
-            prune_node_cells=False, id_digits=synth._CMP_DIGITS,
+            prune_node_cells=False, full_recompare_frac=None,
+            id_digits=synth._CMP_DIGITS,
         )
+    merged = S.current_results(rlog, spark)
+    full = C.compare_stops(
+        stops, S.current_nodes(nlog.read(spark)), [AG], id_digits=synth._CMP_DIGITS
+    )
+    assert _sorted_rows(merged) == _sorted_rows(full)
+
+
+def test_wide_batch_falls_back_to_full_compare(spark, tmp_path):
+    """With the default full_recompare_frac, a batch touching more than
+    10% of the feed re-compares EVERY stop (the delta machinery has no
+    selectivity left — measured at 4M stops, BENCH/delta_sync.json) and
+    the merged results still equal the batch compare."""
+    stops, batches = _world(spark)
+    nlog = SnapTable(str(tmp_path / "nodes_fb"))
+    rlog = SnapTable(str(tmp_path / "results_fb"))
+    ns = []
+    for bid, b in enumerate(batches):
+        ns.append(S.apply_update_batch(
+            spark, b, nlog, rlog, stops, [AG], bid, id_digits=synth._CMP_DIGITS
+        ))
+    n_stops = stops.count()
+    # batches 1/2 touch 2-3 of 5 stops (> 10%) -> full re-compare of all
+    assert ns[1] == n_stops and ns[2] == n_stops
     merged = S.current_results(rlog, spark)
     full = C.compare_stops(
         stops, S.current_nodes(nlog.read(spark)), [AG], id_digits=synth._CMP_DIGITS
