@@ -210,3 +210,23 @@ def test_stream_wrapper_and_restart(spark, tmp_path):
         id_digits=synth._CMP_DIGITS,
     )
     assert nlog.current_version() == v_n and rlog.current_version() == v_r
+
+
+def test_coarse_partition_filter_prunes_scan(spark, tmp_path):
+    """The node-log layout apply_update_batch prescribes (parquet
+    partitioned by the COARSE_RES cell) must turn the delta's coarse-cell
+    filter into scan-level PartitionFilters — partitions outside the
+    affected rings are never read (the 100 TB contract; wall-time
+    evidence in BENCH/delta_sync.json)."""
+    path = str(tmp_path / "pstate")
+    df = spark.range(100).select(
+        F.col("id").alias("osm_id"),
+        (F.col("id") % 7).alias("cell_part"),
+        F.rand(1).alias("lat"),
+    )
+    df.write.mode("overwrite").partitionBy("cell_part").parquet(path)
+    rd = spark.read.parquet(path).filter(F.col("cell_part").isin([1, 3]))
+    plan = rd._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert scan and "cell_part" in scan[0].split("PartitionFilters")[1].split("]")[0]
+    assert rd.count() == len([i for i in range(100) if i % 7 in (1, 3)])
