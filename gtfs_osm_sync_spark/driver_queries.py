@@ -1323,8 +1323,9 @@ def _sf_n(sf_dir: str, per_unit: int = 200_000, lo: int = 2_000) -> int:
 # pytest oracles do); it makes ANY later drift in these operators flip
 # the driver's value-hash. Large-row-set outputs digest to per-group
 # checksums first (g02's ranked pair set -> per-rank key/distance sums);
-# only the two ANN RECALL queries (g06/g07) stay rows-only, with in-plan
-# recall floors — their bucketing is seed-dependent by design.
+# as of round 5 the two ANN RECALL queries (g06/g07) are literal-pinned
+# too — their seeded bucketing is deterministic per sf (verified across
+# core counts), and each still carries its in-plan recall floor.
 # ---------------------------------------------------------------------------
 
 
@@ -1531,12 +1532,26 @@ def g05(spark, sf_dir):
     return out.groupBy("poly_id").agg(F.count("*").alias("n_inside")).orderBy("poly_id")
 
 
-@register("g06_lsh_ann_recall", None)
+@register(
+    "g06_lsh_ann_recall",
+    """
+    SELECT CAST(n_exact AS BIGINT) AS n_exact, CAST(n_hit AS BIGINT) AS n_hit,
+           CAST(recall_at_5 AS DOUBLE) AS recall_at_5,
+           CAST(passes_floor AS BOOLEAN) AS passes_floor
+    FROM (VALUES (100, 16, 0.16, TRUE))
+      AS t(n_exact, n_hit, recall_at_5, passes_floor)
+    """,
+)
 def g06(spark, sf_dir):
     """Sign-LSH bucketed ANN vs brute force: recall@5 (the scale path's
     quality metric). passes_floor rides in the result so an ANN-quality
     regression trips the driver gate, not just pytest (floor mirrors
-    tests/test_similarity.py::test_lsh_recall_reasonable)."""
+    tests/test_similarity.py::test_lsh_recall_reasonable). Oracle is a
+    literal pinned at the driver gate's sf=0.01 scale (g01/g02
+    convention): the seeded hyperplanes make the bucketing — and so the
+    recall summary — deterministic, verified identical at local[8]/sp=8
+    vs local[32]/sp=64; any drift in the hash family, banding, or
+    brute-force tie-break flips the value hash."""
     from .operators.similarity import brute_force_topk, lsh_topk
 
     (emb,) = load(spark, sf_dir, "embeddings")
@@ -1733,10 +1748,27 @@ def q24(spark, sf_dir):
     )
 
 
-@register("g07_ivf_ann_recall", None)
+@register(
+    "g07_ivf_ann_recall",
+    """
+    SELECT CAST(nprobe AS INT) AS nprobe, CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           CAST(recall_at_5 AS DOUBLE) AS recall_at_5,
+           CAST(passes_floor AS BOOLEAN) AS passes_floor
+    FROM (VALUES (1, 100, 25, 0.25, TRUE), (4, 100, 69, 0.69, TRUE),
+                 (8, 100, 100, 1.0, TRUE))
+      AS t(nprobe, n_exact, n_hit, recall_at_5, passes_floor)
+    ORDER BY nprobe
+    """,
+)
 def g07(spark, sf_dir):
     """IVF-bucketed ANN (coarse quantize -> nprobe lists -> exact rerank):
-    recall@5 at nprobe 1/4/8 of 8 lists vs brute force."""
+    recall@5 at nprobe 1/4/8 of 8 lists vs brute force. Literal oracle
+    pinned at the driver gate's sf=0.01 scale (g01/g02 convention):
+    TakeOrderedAndProject centroid seeding + deterministic Lloyd rounds
+    make every row reproducible, verified identical at local[8]/sp=8 vs
+    local[32]/sp=64; the nprobe=8 row doubles as the exhaustive-probe
+    invariant (recall exactly 1.0)."""
     from .operators.similarity import brute_force_topk, ivf_assign, ivf_topk, make_centroids
 
     (emb,) = load(spark, sf_dir, "embeddings")

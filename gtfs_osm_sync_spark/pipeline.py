@@ -207,12 +207,17 @@ def stop_sync_document(
 
       <create>: UPLOAD_NO_CONFLICT stops PLUS (by default) the
         UPLOAD_CONFLICT stops carrying their FIXME merged tags — the
-        reference's default upload set includes conflict stops
-        (CompareData.java:1153-1155 builds the FIXME'd copy into
-        `upload`; ReportViewer.generateStopsToUpload:1587-1603 keeps
-        them there unless acceptedOnlyCheckbox is selected).
-        include_conflicts=False withholds them — the acceptedOnly-style
-        safety posture for unattended composition, where FIXME'd
+        reference's upload button always includes conflict stops:
+        CompareData.java:1153-1155 builds the FIXME'd copy into
+        `upload`, and they reach the upload set through the
+        getOsmId()==null FIRST branch of
+        ReportViewer.generateStopsToUpload:1589 (via
+        uploadDataButtonActionPerformed:2909) regardless of the
+        acceptedOnlyCheckbox — that checkbox (selected by default,
+        ReportViewer.java:2691) only reroutes conflict stops that
+        already carry an osmId. include_conflicts=False withholds them
+        entirely — a safety posture THIS port adds for unattended
+        composition (no reference analog), where FIXME'd
         near-duplicates should wait for human review;
       <modify>: MODIFY stops (id-matched or same-location-adopted, merged
         tags, node identity/location) UNION the node-side redundancy

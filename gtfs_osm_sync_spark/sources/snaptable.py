@@ -39,10 +39,24 @@ deliberate seam is:
   orphan files from killed writer    uncommitted data files, removed
                                        by remove_orphan_files
 
+Partitioned layout + compaction (round 5): a table opened with
+`partition_by="cell_part"` writes every append hive-partitioned by that
+column (each append is an immutable `data/<token>/cell_part=X/...`
+tree recorded as one manifest entry), and `compact()` rewrites the
+current contents into a fresh partitioned BASE snapshot.  `read_split`
+then hands callers (base, tail): the base scan is partition-prunable
+(`filter(col(part).isin(...))` becomes `PartitionFilters` — real I/O
+skipping), while the tail (appends since the last compaction) is small
+and must be read in full by merge-on-read consumers — any base row
+superseded after compaction has its superseding row in the tail, so
+pruning the base can never resurrect a stale row.  Iceberg equivalents:
+hidden-partition data files + `rewrite_data_files` compaction + the
+manifest-level partition-summary pruning a planner does for free.
+
 What is intentionally NOT reproduced (unneeded by the engine's call
-sites): hidden partition transforms, schema evolution, position/equality
-delete files, and compaction — on Iceberg those come for free after the
-swap.
+sites): hidden partition transforms, schema evolution, and
+position/equality delete files — on Iceberg those come for free after
+the swap.
 """
 
 from __future__ import annotations
@@ -66,15 +80,35 @@ class Snapshot:
     parent: int | None
     ts: float
     operation: str
+    base_files: list[str] | None = None
+    partition_by: str | None = None
 
 
 class SnapTable:
-    def __init__(self, root: str):
+    def __init__(self, root: str, partition_by: str | None = None):
         self.root = root
         self.data_dir = os.path.join(root, "data")
         self.meta_dir = os.path.join(root, "_snapshots")
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.meta_dir, exist_ok=True)
+        stored = self._stored_partition_by()
+        if partition_by and stored and partition_by != stored:
+            raise ValueError(
+                f"table {root} is partitioned by {stored!r}, not {partition_by!r}"
+            )
+        if partition_by and stored is None and not self.is_empty():
+            raise ValueError(
+                f"table {root} already has flat (unpartitioned) commits; "
+                "compact() a fresh table instead of mixing layouts"
+            )
+        # the layout is a TABLE property, recorded in every manifest: a
+        # re-open without the constructor arg inherits it, so mixed
+        # flat/partitioned appends cannot happen by accident
+        self.partition_by = partition_by or stored
+
+    def _stored_partition_by(self) -> str | None:
+        s = self.snapshot()
+        return s.partition_by if s else None
 
     # -- metadata ---------------------------------------------------------
 
@@ -105,6 +139,8 @@ class SnapTable:
             parent=d.get("parent"),
             ts=d["ts"],
             operation=d.get("operation", "append"),
+            base_files=d.get("base_files"),
+            partition_by=d.get("partition_by"),
         )
 
     def snapshots(self) -> list[Snapshot]:
@@ -115,7 +151,13 @@ class SnapTable:
             v += 1
         return out
 
-    def _commit(self, files: list[str], checkpoint: dict | None, operation: str) -> int:
+    def _commit(
+        self,
+        files: list[str],
+        checkpoint: dict | None,
+        operation: str,
+        base_files: list[str] | None = None,
+    ) -> int:
         parent = self.current_version()
         version = parent + 1
         manifest = {
@@ -125,6 +167,8 @@ class SnapTable:
             "checkpoint": checkpoint,
             "ts": time.time(),
             "operation": operation,
+            "base_files": base_files,
+            "partition_by": self.partition_by,
         }
         tmp = self._manifest_path(version) + f".tmp{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
@@ -142,24 +186,62 @@ class SnapTable:
 
     # -- write ------------------------------------------------------------
 
+    def _write_tree(self, df: DataFrame, token: str) -> str:
+        """Write df as one immutable hive-partitioned tree under data/,
+        returning its manifest-relative path. Same atomicity shape as the
+        flat path: data lands in staging, one os.replace publishes it."""
+        staging = os.path.join(self.root, f"_staging_{token}")
+        df.write.mode("overwrite").partitionBy(self.partition_by).parquet(staging)
+        dst = os.path.join(self.data_dir, token)
+        os.replace(staging, dst)
+        return os.path.join("data", token)
+
     def append(self, df: DataFrame, checkpoint: dict | None = None) -> int:
         """Atomic append; returns the new snapshot version."""
         token = uuid.uuid4().hex[:12]
-        staging = os.path.join(self.root, f"_staging_{token}")
-        df.write.mode("overwrite").parquet(staging)
-        new_files = []
-        for name in sorted(os.listdir(staging)):
-            if not name.endswith(".parquet"):
-                continue
-            dst_name = f"{token}-{name}"
-            os.replace(
-                os.path.join(staging, name), os.path.join(self.data_dir, dst_name)
-            )
-            new_files.append(os.path.join("data", dst_name))
-        shutil.rmtree(staging, ignore_errors=True)
+        if self.partition_by:
+            new_files = [self._write_tree(df, token)]
+        else:
+            staging = os.path.join(self.root, f"_staging_{token}")
+            df.write.mode("overwrite").parquet(staging)
+            new_files = []
+            for name in sorted(os.listdir(staging)):
+                if not name.endswith(".parquet"):
+                    continue
+                dst_name = f"{token}-{name}"
+                os.replace(
+                    os.path.join(staging, name), os.path.join(self.data_dir, dst_name)
+                )
+                new_files.append(os.path.join("data", dst_name))
+            shutil.rmtree(staging, ignore_errors=True)
         prev = self.snapshot()
         files = (prev.files if prev else []) + new_files
-        return self._commit(files, checkpoint, "append")
+        base = prev.base_files if prev else None
+        return self._commit(files, checkpoint, "append", base_files=base)
+
+    def compact(self, spark: SparkSession, reducer=None, checkpoint: dict | None = None) -> int:
+        """Rewrite the current contents into a fresh BASE snapshot
+        (Iceberg rewrite_data_files): one immutable tree, partitioned by
+        `partition_by` when set, becomes the table's entire file list and
+        its `base_files`. `reducer` (optional fn(df) -> df) lets the
+        caller fold history down before the rewrite — e.g. the node log
+        keeps only the latest row per osm_id. Prior snapshots keep their
+        file lists, so time travel/rollback across the compaction still
+        works; superseded files are orphaned, not deleted (Iceberg's
+        expire_snapshots is the analogous maintenance op)."""
+        df = self.read(spark)
+        if reducer is not None:
+            df = reducer(df)
+        token = uuid.uuid4().hex[:12]
+        if self.partition_by:
+            rel = self._write_tree(df, token)
+        else:
+            staging = os.path.join(self.root, f"_staging_{token}")
+            df.write.mode("overwrite").parquet(staging)
+            dst = os.path.join(self.data_dir, token)
+            os.replace(staging, dst)
+            rel = os.path.join("data", token)
+        return self._commit([rel], checkpoint, "compact", base_files=[rel])
 
     def rollback(self, version: int) -> int:
         """Roll the table back to `version` (new snapshot, old file list) —
@@ -167,16 +249,57 @@ class SnapTable:
         snap = self.snapshot(version)
         if snap is None:
             raise ValueError(f"no snapshot v{version}")
-        return self._commit(snap.files, {"rollback_of": version}, "rollback")
+        return self._commit(
+            snap.files, {"rollback_of": version}, "rollback",
+            base_files=snap.base_files,
+        )
 
     # -- read -------------------------------------------------------------
+
+    def _read_paths(self, spark: SparkSession, files: list[str]) -> DataFrame:
+        paths = [os.path.join(self.root, f) for f in files]
+        # mergeSchema: the union schema is taken across every file, so a
+        # column added by a later writer (e.g. hex_cell stamped on new
+        # node-log appends) deterministically appears as NULL on
+        # pre-upgrade rows instead of depending on which footer Spark
+        # samples (ADVICE r4). Footer-read cost is per-file metadata only.
+        rd = spark.read.option("mergeSchema", "true")
+        if not self.partition_by or len(paths) == 1:
+            return rd.parquet(*paths)
+        # each partitioned append is its own hive root: Spark requires
+        # one root per read (KD009), so read per-root and union — a
+        # partition-column filter still prunes every scan independently
+        out = rd.parquet(paths[0])
+        for p in paths[1:]:
+            out = out.unionByName(rd.parquet(p), allowMissingColumns=True)
+        return out
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         snap = self.snapshot(version)
         if snap is None or not snap.files:
             raise ValueError("table is empty")
-        paths = [os.path.join(self.root, f) for f in snap.files]
-        return spark.read.parquet(*paths)
+        return self._read_paths(spark, snap.files)
+
+    def read_split(
+        self, spark: SparkSession, version: int | None = None
+    ) -> tuple[DataFrame | None, DataFrame | None]:
+        """(base, tail) views of the snapshot: base = the latest
+        compaction's files (hive-partitioned when partition_by is set, so
+        a filter on the partition column becomes PartitionFilters — the
+        scan skips non-matching partitions' I/O entirely); tail = every
+        append since. Merge-on-read contract: a caller that prunes the
+        base MUST read the tail in full — every base row superseded after
+        compaction has its superseding row in the tail, so full-tail +
+        pruned-base can never resurrect a stale row. Either side is None
+        when empty (no compaction yet -> base None, files all tail)."""
+        snap = self.snapshot(version)
+        if snap is None or not snap.files:
+            raise ValueError("table is empty")
+        base = snap.base_files or []
+        tail = [f for f in snap.files if f not in set(base)]
+        base_df = self._read_paths(spark, base) if base else None
+        tail_df = self._read_paths(spark, tail) if tail else None
+        return base_df, tail_df
 
     def is_empty(self) -> bool:
         s = self.snapshot()

@@ -25,23 +25,40 @@ a from-scratch batch compare_stops against the final node state.
 At cluster scale the delta path turns a full O(stops) re-compare into
 O(stops near changed nodes): the affected-stop set comes from the same
 hex-ring prejoin the batch compare uses, so a batch of k node updates
-touches O(k * ring_density) stops regardless of feed size. The node
-side is bounded by the LOG LAYOUT: hex_cell is stamped per row at
-append time (O(batch)) and the log parquet should be partitioned by
-the COARSE_RES cell — the delta then partition-prunes the scan to the
-affected rings (coarse_partition_cells), semi-joins the stored fine
-cell (prune_state_to_stop_rings — sound because every compare branch
-is Vincenty-gated by the same radius), and shrinks the foreign-id
-universe to (feed ∩ pruned-node ids). No per-batch stage shuffles
-anything proportional to the feed or node layer; the full-width work
-left is map-only column scans. Measured at 4M stops / 4.3M nodes / 8
-cores (BENCH/delta_sync.json): k=100 updates -> 21.3 s vs 57.4 s full
-re-compare, with the pruned scan 17% under the full-state read; the
-stored column matters — recomputing cells over the state per batch was
-NET-NEGATIVE (the Arrow pass cost more than the shrunken joins saved).
-Wide batches fall back to the plain full compare
-(full_recompare_frac): at k=10k (24% of stops affected) the delta
-machinery has no selectivity left and loses to the full run.
+touches O(k * ring_density) stops regardless of feed size. Both wide
+scans are bounded by LAYOUT, not post-scan filters:
+
+- NODE side: hex_cell + cell_part (COARSE_RES cell) are stamped per
+  row at append time (O(batch)); open the node log as
+  `SnapTable(root, partition_by="cell_part")` and compact_node_log()
+  periodically. apply_update_batch then partition-prunes the compacted
+  BASE scan to the affected coarse rings (reading the small
+  post-compaction tail in full — sound, see read_split), semi-joins
+  the stored fine cell (prune_state_to_stop_rings), and shrinks the
+  foreign-id universe to (feed ∩ pruned-node ids).
+- FEED side (round 5): stops are static, so stamp the feed once with
+  stamp_feed_cells() and store it `partitionBy("cell_part")`; when the
+  gtfs frame carries cell_part, apply_update_batch filters the stop
+  scan to the changed nodes' coarse rings BEFORE the affected-stop
+  prejoin — the per-batch feed I/O drops from O(feed) to
+  O(k * ring). Pass n_feed (static per feed) so the fallback fraction
+  never re-counts the feed, and feed_ids (a cached single-column
+  gtfs_id frame) so the known-id shrink scans memory, not parquet.
+  The known-id universe itself is deliberately NEVER cell-pruned: a
+  node near a re-compared stop may carry the id of a stop far outside
+  the affected cells, and foreign-ness is a global predicate.
+
+No per-batch stage shuffles anything proportional to the feed or node
+layer. The remaining full-width pass is the `changed` old-position
+lookup (3 pruned columns of the node log semi-joined by the k touched
+ids — map-only); at planet scale, parquet bloom filters on osm_id
+(`parquet.bloom.filter.enabled#osm_id` at compaction) are the knob
+that turns it into row-group point lookups. Measured at 4M stops /
+4.3M nodes / 8 cores (BENCH/delta_sync.json): see the delta_sync
+rows — the stored column matters (recomputing cells over the state
+per batch was NET-NEGATIVE), and wide batches fall back to the plain
+full compare (full_recompare_frac): at k=10k (24% of stops affected)
+the delta machinery has no selectivity left and loses to the full run.
 """
 
 from __future__ import annotations
@@ -147,7 +164,16 @@ def prune_state_to_stop_rings(
             F.explode(ring(hexc("lat", "lon"), F.col("lat"))).alias("hex_cell")
         ).distinct()
     )
-    return state.join(F.broadcast(cells), "hex_cell", "left_semi")
+    # rows with a NULL hex_cell (pre-upgrade log files that predate the
+    # stamped column — surfaced deterministically by SnapTable's
+    # mergeSchema read) are UNPRUNABLE, not out-of-ring: a semi-join
+    # would silently drop them and flip their stops' categories (ADVICE
+    # r4). Keep them unconditionally; only non-null rows are pruned.
+    prunable = state.filter(F.col("hex_cell").isNotNull())
+    unprunable = state.filter(F.col("hex_cell").isNull())
+    return prunable.join(F.broadcast(cells), "hex_cell", "left_semi").unionByName(
+        unprunable
+    )
 
 
 # partition-column resolution for the node log layout: res 1 cells are
@@ -160,13 +186,15 @@ COARSE_RES = 1
 def coarse_partition_cells(
     sub: DataFrame, radius_m: float = 400.0, res: int = COARSE_RES
 ) -> list[int]:
-    """Driver-side bounded list of COARSE hex cells covering every stop
-    in `sub` out to radius_m (same adaptive-ring covering contract as
-    the probe). A node log written `partitionBy` this coarse cell lets
-    the delta re-compare filter on the partition column — the scan
-    itself skips every partition outside the affected rings (real I/O
-    pruning, not just a post-scan filter). O(k * ring) values — a
-    bounded driver collect, same contract as the bbox agg."""
+    """Driver-side bounded list of COARSE hex cells covering every
+    (lat, lon) in `sub` out to radius_m (same adaptive-ring covering
+    contract as the probe). A table written `partitionBy` this coarse
+    cell lets the delta re-compare filter on the partition column — the
+    scan itself skips every partition outside the affected rings (real
+    I/O pruning, not just a post-scan filter). Used on BOTH wide scans:
+    sub = the re-compared stops prunes the node-log base, sub = the
+    changed node positions prunes the partitioned FEED. O(k * ring)
+    values — a bounded driver collect, same contract as the bbox agg."""
     from ..functions.cells import make_hex_cell_udf, make_hex_ring_adaptive_udf
 
     hexc = make_hex_cell_udf(res)
@@ -181,6 +209,71 @@ def coarse_partition_cells(
     return [r["c"] for r in rows]
 
 
+def stamp_feed_cells(gtfs: DataFrame, fine_res: int | None = None) -> DataFrame:
+    """Stamp the static feed once at ingest with its stored fine cell
+    (hex_cell — skips the per-batch cell recompute in affected_stop_ids)
+    and its coarse partition cell (cell_part). Write the result
+    `partitionBy("cell_part")` and hand the read-back frame to
+    apply_update_batch: the per-batch stop scan then partition-prunes to
+    the changed nodes' coarse rings instead of reading the whole feed
+    (round-5 layout; the feed-side mirror of the node-log layout)."""
+    from ..functions.cells import make_hex_cell_udf
+    from ..operators.spatial_join import HEX_RES
+
+    res = HEX_RES if fine_res is None else fine_res
+    return gtfs.withColumn(
+        "hex_cell", make_hex_cell_udf(res)("lat", "lon")
+    ).withColumn("cell_part", make_hex_cell_udf(COARSE_RES)("lat", "lon"))
+
+
+def compact_node_log(
+    spark: SparkSession, node_log: SnapTable, checkpoint: dict | None = None
+) -> int:
+    """Periodic node-log maintenance (Iceberg rewrite_data_files): fold
+    the log down to the latest row per osm_id (same (update_seq,
+    elem_idx) ordering as current_nodes) with tombstones dropped —
+    nothing older survives the rewrite, so nothing can resurrect — and
+    rewrite it as the table's partitioned BASE. After this,
+    apply_update_batch partition-prunes the base scan to the affected
+    coarse cells and reads only the (small) post-compaction tail in
+    full. Rows keep their original update_seq so merge-on-read ordering
+    against newer tail appends is unchanged."""
+
+    def latest_rows(df: DataFrame) -> DataFrame:
+        keep = [c for c in df.columns if c != "osm_id"]
+        folded = df.groupBy("osm_id").agg(
+            F.max_by(
+                F.struct(*keep), F.struct(F.col("update_seq"), F.col("elem_idx"))
+            ).alias("_r")
+        )
+        return folded.select("osm_id", "_r.*").filter(~F.col("deleted"))
+
+    return node_log.compact(spark, reducer=latest_rows, checkpoint=checkpoint)
+
+
+def _pruned_node_state(
+    spark: SparkSession, node_log: SnapTable, sub: DataFrame, radius_m: float
+) -> DataFrame | None:
+    """Merge-on-read node state with the compacted BASE scan partition-
+    pruned to the coarse cells covering sub's rings; the post-compaction
+    tail is read in full (read_split's soundness contract — a superseded
+    base row's newer version is always in the tail, and an extra
+    still-current row outside the rings is dropped again by
+    prune_state_to_stop_rings). None when the log has no partitioned
+    base yet (caller falls back to the full-scan state)."""
+    part = node_log.partition_by
+    if not part:
+        return None
+    base, tail = node_log.read_split(spark)
+    if base is None or part not in base.columns:
+        return None
+    cells = coarse_partition_cells(sub, radius_m)
+    pruned = base.filter(F.col(part).isin(cells))
+    if tail is not None:
+        pruned = pruned.unionByName(tail, allowMissingColumns=True)
+    return current_nodes(pruned)
+
+
 def apply_update_batch(
     spark: SparkSession,
     updates: DataFrame,
@@ -193,6 +286,8 @@ def apply_update_batch(
     radius_m: float = 400.0,
     prune_node_cells: bool = True,
     full_recompare_frac: float | None = 0.1,
+    n_feed: int | None = None,
+    feed_ids: DataFrame | None = None,
     **compare_kw,
 ) -> int:
     """One micro-batch of the incremental sync. `updates` rows use the
@@ -213,9 +308,24 @@ def apply_update_batch(
     fraction of the feed, fall back to a plain full re-compare — the
     delta machinery (affected scan, pruning, id shrink) has no
     selectivity left to pay for itself. Measured at 4M stops/8 cores:
-    k=100 updates -> delta 21.3 s vs full 57.4 s, but k=10k (24% of
-    stops affected) -> delta 63.4 s vs full 57.4 s
-    (BENCH/delta_sync.json). None disables the fallback."""
+    k=100 updates -> delta vs full and k=10k fallback numbers in
+    BENCH/delta_sync.json. None disables the fallback.
+
+    Per-batch cost knobs for the 100x deployment (round 5):
+    - gtfs carrying a `cell_part` column (stamp_feed_cells + a
+      partitionBy("cell_part") feed store) partition-prunes the stop
+      scan to the changed nodes' coarse rings — O(k * ring) feed I/O
+      per batch instead of O(feed).
+    - n_feed: the feed's row count (static per deployment); passing it
+      removes the per-batch gtfs.count() the fallback fraction needs.
+    - feed_ids: a cached single-column `gtfs_id` frame of the FULL
+      feed for the known-id shrink; without it the shrink re-derives
+      ids from the feed scan each batch. Never cell-pruned — a nearby
+      node may carry the id of a far-away stop, and foreign-ness is a
+      global predicate over the whole feed (see _probe_pairs).
+    - a node log opened with partition_by="cell_part" and periodically
+      compact_node_log()'d gets its base scan partition-pruned here
+      (prune_node_cells; tail read in full — see read_split)."""
     bid = int(batch_id)
     node_done = bid in node_log.processed_chunks(run_id)
     result_done = bid in result_log.processed_chunks(run_id + "_results")
@@ -227,19 +337,26 @@ def apply_update_batch(
 
     upd = updates.withColumn("update_seq", F.lit(bid))
     if "hex_cell" not in upd.columns:
-        # stamp the cell ONCE at ingest (O(batch), not O(state)): the
-        # delta prune then filters the merged state on a stored column
+        # stamp the cells ONCE at ingest (O(batch), not O(state)): the
+        # delta prune then filters the merged state on a stored column,
+        # and cell_part is the node log's partition column when the
+        # table is opened partitioned
         upd = upd.withColumn(
             "hex_cell", make_hex_cell_udf(HEX_RES)("lat", "lon")
+        )
+    if "cell_part" not in upd.columns:
+        upd = upd.withColumn(
+            "cell_part", make_hex_cell_udf(COARSE_RES)("lat", "lon")
         )
     if not node_done:
         node_log.append(upd, checkpoint={"run_id": run_id, "chunks": [bid]})
     log_df = node_log.read(spark)
-    state = current_nodes(log_df)
+    state = None  # resolved per-branch below (pruned where layout allows)
 
     # a node that MOVED influences its old neighborhood too: take every
     # position the touched ids ever held (superset of old∪new; extra
-    # stops just re-compare to the same answer)
+    # stops just re-compare to the same answer). Map-only 3-column scan
+    # of the log; parquet bloom filters on osm_id are the at-scale knob.
     changed = log_df.join(
         upd.select("osm_id").distinct(), "osm_id", "left_semi"
     ).select("lat", "lon").unionByName(upd.select("lat", "lon"))
@@ -253,21 +370,38 @@ def apply_update_batch(
         # compare anyway
         sub = gtfs
         known = gtfs
+        n_recompared = n_feed if n_feed is not None else gtfs.count()
     else:
-        touched = affected_stop_ids(gtfs, changed, radius_m)
-        sub = gtfs.join(F.broadcast(touched), "gtfs_id", "left_semi")
+        feed = gtfs
+        if "cell_part" in gtfs.columns:
+            # partitioned-feed layout: only partitions inside the changed
+            # nodes' coarse rings are scanned at all (PartitionFilters) —
+            # the stop side of the prejoin drops from O(feed) to
+            # O(k * ring) I/O. Sound: an affected stop is within
+            # radius_m of some changed position, so its coarse cell is
+            # in that position's covering ring.
+            feed_cells = coarse_partition_cells(changed, radius_m)
+            feed = gtfs.filter(F.col("cell_part").isin(feed_cells))
+        touched = affected_stop_ids(feed, changed, radius_m)
+        sub = feed.join(F.broadcast(touched), "gtfs_id", "left_semi")
         known = gtfs
+        n_recompared = sub.count()
         if full_recompare_frac is not None:
-            n_sub, n_feed = sub.count(), gtfs.count()
-            if n_sub > full_recompare_frac * n_feed:
+            nf = n_feed if n_feed is not None else gtfs.count()
+            if n_recompared > full_recompare_frac * nf:
                 sub = gtfs  # wide batch: the plain full compare is cheaper
+                n_recompared = nf
         if sub is not gtfs and prune_node_cells:
+            state = _pruned_node_state(spark, node_log, sub, radius_m)
+            if state is None:
+                state = current_nodes(log_df)
             state = prune_state_to_stop_rings(state, sub, radius_m)
             # shrink the foreign-ness id universe to (feed ∩ pruned-node
             # ids): verdict-identical for every node still in state, and
             # it turns the probe's anti-join build side from O(feed)
-            # into O(k * ring) — the full feed scan here is map-only
-            # (broadcast semi-join), never a shuffle
+            # into O(k * ring) — the feed-side pass here is map-only
+            # (broadcast semi-join) over feed_ids when given (a cached
+            # in-memory column), never a shuffle
             from ..functions.mappings import zero_pad_id
 
             id_digits = compare_kw.get("id_digits", 4)
@@ -277,10 +411,12 @@ def apply_update_batch(
                 .select(zero_pad_id(raw, id_digits).alias("gtfs_id"))
                 .distinct()
             )
-            known = gtfs.select("gtfs_id").join(
+            ids_base = feed_ids if feed_ids is not None else gtfs
+            known = ids_base.select("gtfs_id").join(
                 F.broadcast(node_ids), "gtfs_id", "left_semi"
             )
-    n_recompared = sub.count()
+    if state is None:
+        state = current_nodes(log_df)
     if n_recompared and not result_done:
         fresh = compare_stops(
             sub,

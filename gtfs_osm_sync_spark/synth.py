@@ -574,3 +574,67 @@ def generate_compare_world(
     return rng.mapInPandas(gs, COMPARE_STOPS_SCHEMA), rng.mapInPandas(
         gn, COMPARE_NODES_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# documents corpus (dedup-pipeline scaling bench)
+# ---------------------------------------------------------------------------
+
+DOCS_SCHEMA = "doc_id string, text string"
+_DOC_VOCAB = 4096  # synthetic word ids; ~98 shingles/doc at 100 words
+
+
+def _doc_words(ids: np.ndarray, n_words: int) -> list[list[str]]:
+    """Deterministic word lists: word j of doc i = splitmix64(i*K + j) %
+    vocab — seed-stable across partitionings like every other generator
+    here (no RNG objects, pure bit mixing)."""
+    cols = []
+    base = ids.astype(np.uint64) * np.uint64(131_071)
+    for j in range(n_words):
+        w = splitmix64(base + np.uint64(j)) % np.uint64(_DOC_VOCAB)
+        cols.append(w)
+    mat = np.stack(cols, axis=1)  # (n_docs, n_words)
+    return [["w%04d" % w for w in row] for row in mat]
+
+
+def gen_documents_pdf(ids: np.ndarray, dup_frac: float, n_words: int) -> pd.DataFrame:
+    """Corpus batch with planted near-duplicates: a `dup_frac` slice of
+    docs re-generates an EARLIER doc's words (parent = id - small
+    deterministic offset) and mutates ~10% of positions — Jaccard vs the
+    parent ~0.8, well above the pipeline's 0.5 verify threshold, so
+    MinHash -> LSH -> verify -> CC all get real work. Mutated word ids
+    draw from a disjoint range so a mutation never accidentally matches."""
+    ids = ids.astype(np.int64)
+    h = splitmix64(ids.astype(np.uint64))
+    is_dup = (ids > 16) & ((h % np.uint64(1000)).astype(np.int64) < int(dup_frac * 1000))
+    offset = ((h >> np.uint64(13)) % np.uint64(8)).astype(np.int64) + 1
+    src = np.where(is_dup, ids - offset, ids)
+    words = _doc_words(src, n_words)
+    n_mut = max(n_words // 10, 1)
+    di = np.nonzero(is_dup)[0]
+    if di.size:
+        mseed = splitmix64(ids[di].astype(np.uint64) * np.uint64(7) + np.uint64(3))
+        for m in range(n_mut):
+            pos = (splitmix64(mseed + np.uint64(m)) % np.uint64(n_words)).astype(np.int64)
+            sub = (splitmix64(mseed ^ np.uint64(m + 77)) % np.uint64(_DOC_VOCAB)).astype(np.int64)
+            for j, i in enumerate(di):
+                words[i][int(pos[j])] = "m%04d" % int(sub[j])
+    return pd.DataFrame(
+        {"doc_id": ["d%012d" % i for i in ids], "text": [" ".join(w) for w in words]}
+    )
+
+
+def generate_documents(
+    spark: SparkSession,
+    n_docs: int,
+    dup_frac: float = 0.2,
+    n_words: int = 60,
+    partitions: int = 8,
+) -> DataFrame:
+    """Distributed deterministic documents corpus for the dedup bench."""
+
+    def gd(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield gen_documents_pdf(pdf["id"].to_numpy(), dup_frac, n_words)
+
+    return spark.range(0, n_docs, 1, partitions).mapInPandas(gd, DOCS_SCHEMA)

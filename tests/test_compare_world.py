@@ -365,10 +365,13 @@ def test_shuffle_path_has_no_broadcast_and_matches(spark):
 def test_stop_sync_document_composition(spark):
     """Full upload composition (UploadData.java:59-75): create = clean
     new stops plus (by default) FIXME'd conflict stops, matching the
-    reference's default upload set (ReportViewer.java:1587-1603);
-    include_conflicts=False withholds them (acceptedOnly posture);
-    modify = MODIFY stops UNION node-side redundancy FIXMEs; an
-    unsupported API version aborts before any work
+    reference's upload button — conflict stops ride the
+    getOsmId()==null first branch of generateStopsToUpload
+    (ReportViewer.java:1589 via uploadDataButtonActionPerformed:2909)
+    regardless of the acceptedOnlyCheckbox; include_conflicts=False
+    withholds them (a safety posture this port adds, no reference
+    analog); modify = MODIFY stops UNION node-side redundancy FIXMEs;
+    an unsupported API version aborts before any work
     (HttpRequest.checkVersion)."""
     from gtfs_osm_sync_spark.pipeline import stop_sync_document
 
@@ -398,7 +401,7 @@ def test_stop_sync_document_composition(spark):
     assert 'id="n3"' in modify and C.FIXME_REDUNDANT in modify
     assert "<delete>" not in xml
 
-    # acceptedOnly posture: conflict stops withheld for human review
+    # port-added safety posture: conflict stops withheld for human review
     xml_safe = stop_sync_document(
         stops, nodes, [synth.COMPARE_AGENCY], id_digits=7, changeset="7",
         include_conflicts=False,

@@ -3,6 +3,7 @@ a run killed mid-job and resumed produces a table identical to an
 uninterrupted run; rollback restores earlier snapshots exactly."""
 
 import pandas as pd
+import pyspark.sql.functions as F
 import pytest
 
 from gtfs_osm_sync_spark import pipeline, synth
@@ -83,3 +84,93 @@ def test_every_category_present_in_flagship_output(spark, tmp_path):
     # nearest assignment only exists when a feature is in range
     has_near = pdf["nearest_feature_id"].notna()
     assert (pdf.loc[has_near, "nearest_dist_m"] < 400.0).all()
+
+
+def test_partitioned_append_compact_read_split(spark, tmp_path):
+    """Round-5 layout contract: partitioned appends land as immutable
+    hive trees, compact() folds them into a BASE snapshot whose scan
+    partition-prunes, read_split separates base from post-compaction
+    tail, and rollback across the compaction restores the pre-compact
+    file list exactly."""
+    root = str(tmp_path / "pt")
+    t = SnapTable(root, partition_by="p")
+    df1 = spark.createDataFrame([(1, 10, "a"), (2, 20, "b")], "id int, p int, v string")
+    df2 = spark.createDataFrame([(3, 10, "c")], "id int, p int, v string")
+    t.append(df1)
+    v2 = t.append(df2)
+
+    # re-open WITHOUT the arg: layout inherited from the manifest
+    t2 = SnapTable(root)
+    assert t2.partition_by == "p"
+    assert sorted(tuple(r) for r in t2.read(spark).select("id", "p", "v").collect()) == [
+        (1, 10, "a"), (2, 20, "b"), (3, 10, "c")
+    ]
+    base, tail = t2.read_split(spark)
+    assert base is None and tail is not None  # nothing compacted yet
+
+    t2.compact(spark)
+    base, tail = t2.read_split(spark)
+    assert base is not None and tail is None
+    assert base.count() == 3
+    # the base scan partition-prunes (PartitionFilters on p)
+    plan = (
+        base.filter(F.col("p") == 10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "p" in line.split("PartitionFilters")[1].split("]")[0]
+
+    # post-compaction appends are tail; full read sees everything
+    t2.append(spark.createDataFrame([(4, 30, "d")], "id int, p int, v string"))
+    base, tail = t2.read_split(spark)
+    assert base.count() == 3 and tail.count() == 1
+    assert t2.read(spark).count() == 4
+
+    # rollback across the compaction: v2's exact file list restored
+    t2.rollback(v2)
+    assert t2.read(spark).count() == 3
+    b, tl = t2.read_split(spark)
+    assert b is None  # pre-compaction snapshot had no base
+
+
+def test_partition_layout_guards(spark, tmp_path):
+    """Mismatched partition columns and flat->partitioned flips on a
+    non-empty table are refused at open time."""
+    root = str(tmp_path / "g")
+    t = SnapTable(root, partition_by="p")
+    t.append(spark.createDataFrame([(1, 10)], "id int, p int"))
+    with pytest.raises(ValueError, match="partitioned by"):
+        SnapTable(root, partition_by="q")
+    root2 = str(tmp_path / "flat")
+    f = SnapTable(root2)
+    f.append(spark.createDataFrame([(1, 10)], "id int, p int"))
+    with pytest.raises(ValueError, match="flat"):
+        SnapTable(root2, partition_by="p")
+
+
+def test_compact_with_reducer_keeps_ledger(spark, tmp_path):
+    """compact(reducer=...) folds history (latest row per key) while the
+    checkpoint ledger — which rides the snapshot CHAIN, not the file
+    list — still reports every processed chunk."""
+    root = str(tmp_path / "cr")
+    t = SnapTable(root)
+    t.append(
+        spark.createDataFrame([(1, 0, "old"), (2, 0, "x")], "k int, seq int, v string"),
+        checkpoint={"run_id": "r", "chunks": [0]},
+    )
+    t.append(
+        spark.createDataFrame([(1, 1, "new")], "k int, seq int, v string"),
+        checkpoint={"run_id": "r", "chunks": [1]},
+    )
+
+    def latest(df):
+        from pyspark.sql import functions as FF
+        g = df.groupBy("k").agg(
+            FF.max_by(FF.struct("seq", "v"), FF.col("seq")).alias("_r")
+        )
+        return g.select("k", "_r.*")
+
+    t.compact(spark, reducer=latest)
+    rows = sorted(tuple(r) for r in t.read(spark).collect())
+    assert rows == [(1, 1, "new"), (2, 0, "x")]
+    assert t.processed_chunks("r") == {0, 1}

@@ -230,3 +230,130 @@ def test_coarse_partition_filter_prunes_scan(spark, tmp_path):
     scan = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert scan and "cell_part" in scan[0].split("PartitionFilters")[1].split("]")[0]
     assert rd.count() == len([i for i in range(100) if i % 7 in (1, 3)])
+
+
+def _stamped_feed(spark, tmp_path, stops, name="feed_part"):
+    """The round-5 feed layout: cells stamped once at ingest, stored
+    partitionBy the coarse cell, read back (cell_part becomes a hive
+    partition column -> the per-batch filter partition-prunes the scan)."""
+    path = str(tmp_path / name)
+    S.stamp_feed_cells(stops).write.mode("overwrite").partitionBy(
+        "cell_part"
+    ).parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_partitioned_feed_and_compacted_log_equal_full_batch(spark, tmp_path):
+    """The full round-5 layout — feed partitioned by cell_part (+ n_feed
+    and cached feed_ids passed in, so no per-batch feed count), node log
+    opened partitioned and compacted mid-stream — must produce merged
+    results identical to the from-scratch batch compare after every
+    batch, including batches that run against a compacted base + tail."""
+    stops, batches = _world(spark)
+    feed = _stamped_feed(spark, tmp_path, stops)
+    nf = feed.count()
+    fids = feed.select("gtfs_id").cache()
+    nlog = SnapTable(str(tmp_path / "nodes_p"), partition_by="cell_part")
+    rlog = SnapTable(str(tmp_path / "results_p"))
+    for bid, b in enumerate(batches):
+        S.apply_update_batch(
+            spark, b, nlog, rlog, feed, [AG], bid,
+            full_recompare_frac=None, n_feed=nf, feed_ids=fids,
+            id_digits=synth._CMP_DIGITS,
+        )
+        if bid == 0:
+            # compact after the bootstrap batch: batches 1..2 exercise
+            # the pruned-base + full-tail state read
+            S.compact_node_log(spark, nlog)
+            base, tail = nlog.read_split(spark)
+            assert base is not None and tail is None
+            assert "cell_part" in base.columns
+        merged = S.current_results(rlog, spark)
+        full = C.compare_stops(
+            stops, S.current_nodes(nlog.read(spark)), [AG],
+            id_digits=synth._CMP_DIGITS,
+        )
+        assert _sorted_rows(merged) == _sorted_rows(full), f"diverged after batch {bid}"
+    # post-compaction appends are the tail
+    base, tail = nlog.read_split(spark)
+    assert base is not None and tail is not None
+
+
+def test_feed_partition_filter_prunes_scan(spark, tmp_path):
+    """The feed-side mirror of test_coarse_partition_filter_prunes_scan:
+    filtering the partitioned feed by the changed nodes' coarse ring
+    cells (exactly apply_update_batch's code path) must show
+    PartitionFilters on cell_part in the physical plan, and the pruned
+    feed must still contain every affected stop."""
+    stops, batches = _world(spark)
+    feed = _stamped_feed(spark, tmp_path, stops, "feed_plan")
+    # b2's changed positions: around stops 2 and 5 only
+    changed = batches[2].select("lat", "lon")
+    cells = S.coarse_partition_cells(changed)
+    pruned = feed.filter(F.col("cell_part").isin(cells))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert scan and "cell_part" in scan[0].split("PartitionFilters")[1].split("]")[0]
+    # covering contract: every stop within the radius of a changed
+    # position survives the prune
+    touched_full = {r["gtfs_id"]
+                    for r in S.affected_stop_ids(stops, changed).collect()}
+    touched_pruned = {r["gtfs_id"]
+                      for r in S.affected_stop_ids(pruned, changed).collect()}
+    assert touched_full == touched_pruned and touched_full
+    # and the prune is real: the far-away stops' partitions are gone
+    kept = {r["gtfs_id"] for r in pruned.select("gtfs_id").collect()}
+    assert len(kept) < stops.count()
+
+
+def test_prune_state_keeps_null_cell_rows(spark):
+    """hex_cell-NULL state rows (pre-upgrade log files surfaced by the
+    mergeSchema read) are unprunable, not out-of-ring: they must survive
+    prune_state_to_stop_rings unconditionally (ADVICE r4 medium)."""
+    stops = _stops(spark, [("0000001", 10.0, 20.0, "S1")])
+    state = spark.createDataFrame(
+        [("nNear", 10.0005, 20.0, None), ("nFarNull", 55.0, 55.0, None)],
+        "osm_id string, lat double, lon double, hex_cell long",
+    )
+    from gtfs_osm_sync_spark.functions.cells import make_hex_cell_udf
+    from gtfs_osm_sync_spark.operators.spatial_join import HEX_RES
+
+    # nNear gets a real cell; nFarNull keeps NULL (simulates an old file)
+    state = state.withColumn(
+        "hex_cell",
+        F.when(F.col("osm_id") == "nNear",
+               make_hex_cell_udf(HEX_RES)("lat", "lon")),
+    )
+    pruned = S.prune_state_to_stop_rings(state, stops)
+    ids = {r["osm_id"] for r in pruned.collect()}
+    assert ids == {"nNear", "nFarNull"}  # NULL row kept, near row kept
+
+
+def test_mixed_schema_log_rows_not_dropped(spark, tmp_path):
+    """A node log whose early appends predate the hex_cell column must
+    still feed ALL its rows through the pruned delta path: SnapTable's
+    mergeSchema read surfaces hex_cell=NULL deterministically and the
+    prune keeps those rows (the ADVICE r4 failure scenario end-to-end)."""
+    log = SnapTable(str(tmp_path / "mixed"))
+    old = spark.createDataFrame(
+        [("nOld", "1", "u", "t", 10.0004, 20.0,
+          {"gtfs_id": "1", "operator": AG}, 0, 1, False, 0)],
+        UPDATE_SCHEMA + ", update_seq int",
+    )
+    log.append(old)  # pre-upgrade file: NO hex_cell column
+    new = old.selectExpr(
+        "osm_id", "version", "user", "timestamp", "lat + 60 as lat", "lon",
+        "tags", "file_idx", "elem_idx", "deleted", "1 as update_seq",
+    ).withColumn("osm_id", F.lit("nNew"))
+    from gtfs_osm_sync_spark.functions.cells import make_hex_cell_udf
+    from gtfs_osm_sync_spark.operators.spatial_join import HEX_RES
+
+    log.append(new.withColumn("hex_cell",
+                              make_hex_cell_udf(HEX_RES)("lat", "lon")))
+    state = S.current_nodes(log.read(spark))
+    assert "hex_cell" in state.columns  # mergeSchema: deterministic
+    stops = _stops(spark, [("0000001", 10.0, 20.0, "S1")])
+    pruned = S.prune_state_to_stop_rings(state, stops)
+    ids = {r["osm_id"] for r in pruned.collect()}
+    # nOld (NULL cell, pre-upgrade) kept; nNew (real cell, out of ring) pruned
+    assert ids == {"nOld"}

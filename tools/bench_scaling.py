@@ -16,6 +16,10 @@ Phases measured end to end, each in its own JVM per level:
   mosaic  — decode + per-cell stitch (applyInPandas, python-CPU-bound)
   compare — the REFERENCE'S core task: stop-vs-node categorize + tag
             merge on the synthetic compare world (shuffle path)
+  dedup   — the LLM-pipeline at-scale near-dup composition (d14 /
+            jobs/run_dedup.py): MinHash -> LSH banding -> df-capped
+            Jaccard verify -> connected components, on a synthetic
+            corpus with planted near-dups (synth.generate_documents)
 
 EVERY run appends its raw JSON to BENCH/runs.jsonl (committed), and
 BENCH/BASELINE.md is REGENERATED from the full ledger: per-run
@@ -40,7 +44,7 @@ Config notes baked in (each was measured, see git history):
     the 8-core level runs ~13 s and fixed costs cap efficiency at ~0.69).
 
 Usage:
-  python tools/bench_scaling.py [n_images] [cpus_low] [cpus_high] [n_stops]
+  python tools/bench_scaling.py [n_images] [cpus_low] [cpus_high] [n_stops] [n_docs]
   python tools/bench_scaling.py --regen     # rebuild the md from the ledger
 """
 
@@ -55,7 +59,7 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LEDGER = os.path.join(REPO, "BENCH", "runs.jsonl")
-PHASES = ("ingest", "assign", "mosaic", "compare")
+PHASES = ("ingest", "assign", "mosaic", "compare", "dedup")
 
 _CHILD = r"""
 import json, math, os, shutil, sys, time
@@ -70,6 +74,7 @@ import pyspark.sql.functions as F
 cpus = {cpus}
 n = {n_images}
 n_stops = {n_stops}
+n_docs = {n_docs}
 phase = {phase!r}
 scale = math.sqrt(max(n / 500_000, 1.0))
 stage = {stage_dir!r}
@@ -172,6 +177,36 @@ if phase == "compare":
     out.update(compare_n=n_stops, compare_rows=rows, compare_sec=round(t_cmp, 2),
                compare_stops_per_sec=round(n_stops / t_cmp, 1))
 
+if phase == "dedup":
+    # the d14 composition end to end (the 100 TB dedup formulation:
+    # banded candidates, df-capped verify, log-round CC). ~3/4 of the
+    # work is the minhash explode+combine (map-side, embarrassingly
+    # parallel); CC's fixpoint collects are the fixed cost.
+    from gtfs_osm_sync_spark.operators.dedup import (
+        minhash_signatures, lsh_candidate_pairs, jaccard_pairs,
+        connected_components)
+    docs = spark.read.parquet(stage + "/docs")
+
+    def run_dd(src):
+        sigs = minhash_signatures(src)
+        cand = lsh_candidate_pairs(sigs)
+        pairs = jaccard_pairs(src, cand, threshold=0.5,
+                              df_cap=64).select("id_a", "id_b")
+        cc = connected_components(pairs)
+        return cc.agg(F.sum(F.hash("doc_id", "component")),
+                      F.count("*")).collect()[0]
+
+    run_dd(docs.where("doc_id < 'd000000002000'"))  # warm-up slice
+    t_dd = float("inf")
+    members = 0
+    for _ in range(2):
+        t4 = time.time()
+        row = run_dd(docs)
+        members = row[1]
+        t_dd = min(t_dd, time.time() - t4)
+    out.update(dedup_n=n_docs, dedup_members=members, dedup_sec=round(t_dd, 2),
+               dedup_docs_per_sec=round(n_docs / t_dd, 1))
+
 print("RESULT " + json.dumps(out))
 """
 
@@ -194,6 +229,8 @@ stops, nodes = synth.generate_compare_world(spark, n_stops, spread_scale=cscale,
                                             partitions=64)
 stops.write.mode("overwrite").parquet({stage_dir!r} + "/stops")
 nodes.write.mode("overwrite").parquet({stage_dir!r} + "/nodes")
+(synth.generate_documents(spark, {n_docs}, partitions=64)
+ .write.mode("overwrite").parquet({stage_dir!r} + "/docs"))
 print("STAGED")
 """
 
@@ -215,13 +252,14 @@ def _run(code: str, cpus: int | None, timeout: int = 2400) -> str:
     return out.stdout + ("" if out.returncode == 0 else "\nSTDERR:\n" + out.stderr[-3000:])
 
 
-def run_level(cpus: int, n_images: int, n_stops: int, stage_dir: str) -> dict:
-    """Run the four phases, each in its own JVM, and merge the results."""
+def run_level(cpus: int, n_images: int, n_stops: int, n_docs: int, stage_dir: str,
+              phases: tuple = PHASES) -> dict:
+    """Run the phases, each in its own JVM, and merge the results."""
     merged: dict = {}
-    for phase in PHASES:
+    for phase in phases:
         out = _run(
             _CHILD.format(repo=REPO, cpus=cpus, n_images=n_images, n_stops=n_stops,
-                          stage_dir=stage_dir, phase=phase),
+                          n_docs=n_docs, stage_dir=stage_dir, phase=phase),
             cpus,
         )
         for line in out.splitlines():
@@ -240,12 +278,14 @@ _TP_KEY = {
     "assign": "assign_images_per_sec",
     "mosaic": "mosaic_images_per_sec",
     "compare": "compare_stops_per_sec",
+    "dedup": "dedup_docs_per_sec",
 }
 _PHASE_DESC = {
     "ingest": "synth + fused geotag + parquet write",
     "assign": "hex-ring radius join + kNN/category agg",
     "mosaic": "decode + per-cell stitch, applyInPandas",
     "compare": "stop-vs-node categorize + tag merge (reference core task, shuffle path)",
+    "dedup": "MinHash -> LSH -> Jaccard verify -> CC (d14 composition)",
 }
 
 
@@ -378,7 +418,10 @@ Worlds: flagship pipeline on a density-constant world of 2,500,000
 images (spread_scale = sqrt(n/500k), urban-skewed, deterministic);
 compare phase on a 4,000,000-stop compare world (~4.3M nodes, all five
 category modes planted; semantics brute-force-verified in
-tests/test_compare_world.py).
+tests/test_compare_world.py); dedup phase on a 100,000-doc synthetic
+corpus with ~20% planted near-dups (synth.generate_documents,
+splitmix64-deterministic; composition semantics hash-checked by d14's
+recursive-CTE oracle).
 
 ### Every recorded run (efficiency per phase)
 
@@ -474,17 +517,25 @@ def main() -> None:
     lo = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     hi = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     n_stops = int(sys.argv[4]) if len(sys.argv) > 4 else 4_000_000
+    n_docs = int(sys.argv[5]) if len(sys.argv) > 5 else 100_000
+    # optional 6th arg: comma-list of phases (e.g. "dedup") — each phase
+    # is its own JVM anyway, so a subset pairing is a valid ledger row
+    # for exactly the phases it ran (regen's medians pool per phase)
+    phases = tuple(sys.argv[6].split(",")) if len(sys.argv) > 6 else PHASES
+    for ph in phases:
+        assert ph in PHASES, ph
     stage_dir = "/dev/shm/bench_scaling" if os.path.isdir("/dev/shm") else "/tmp/bench_scaling"
     t0 = time.time()
     out = _run(
-        _STAGER.format(repo=REPO, n_images=n_images, n_stops=n_stops, stage_dir=stage_dir),
+        _STAGER.format(repo=REPO, n_images=n_images, n_stops=n_stops, n_docs=n_docs,
+                       stage_dir=stage_dir),
         None,
     )
     if "STAGED" not in out:
         raise RuntimeError(f"staging failed:\n{out[-3000:]}")
     try:
-        r_lo = run_level(lo, n_images, n_stops, stage_dir)
-        r_hi = run_level(hi, n_images, n_stops, stage_dir)
+        r_lo = run_level(lo, n_images, n_stops, n_docs, stage_dir, phases)
+        r_hi = run_level(hi, n_images, n_stops, n_docs, stage_dir, phases)
     finally:
         import shutil
 
@@ -505,7 +556,9 @@ def main() -> None:
         "build": build,
         "n_images": n_images,
         "n_stops": n_stops,
+        "n_docs": n_docs,
         "cpus": [lo, hi],
+        "phases": list(phases),
         "low": r_lo,
         "high": r_hi,
         "eff": eff,
