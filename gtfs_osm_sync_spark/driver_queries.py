@@ -2225,6 +2225,49 @@ def g10(spark, sf_dir):
 
 
 @register(
+    "g12_audio_wav_stats",
+    """
+    SELECT CAST(clipped AS BOOLEAN) AS clipped, CAST(n_clips AS BIGINT) AS n_clips,
+           CAST(dur_sum AS DOUBLE) AS dur_sum, CAST(rms_sum AS DOUBLE) AS rms_sum,
+           CAST(peak_sum AS DOUBLE) AS peak_sum, CAST(zc_sum AS BIGINT) AS zc_sum,
+           CAST(clip_sum AS DOUBLE) AS clip_sum
+    FROM (VALUES (FALSE, 320, 220.0, 164.04, 231.997, 217995, 0.0),
+                 (TRUE, 80, 54.813, 60.247, 79.998, 54003, 23.0988))
+      AS t(clipped, n_clips, dur_sum, rms_sum, peak_sum, zc_sum, clip_sum)
+    ORDER BY clipped
+    """,
+)
+def g12(spark, sf_dir):
+    """Audio modality with a REAL codec: decodable RIFF/PCM-16 WAV
+    payloads (operators/media.py synth_wav_table — any stdlib `wave`
+    reader accepts the bytes) through the zip-batch mapInPandas decode
+    (audio_features: stdlib-wave parse, header as metadata source of
+    truth, downmix, RMS/peak/zero-crossing/clipping). Digested to a
+    per-clipped-bucket checksum row set; literal oracle pinned at the
+    driver gate's sf=0.01 scale (g01 convention; decode round-trip,
+    downmix, 8-bit path, and header precedence are pytest-verified in
+    tests/test_media.py). Every 5th clip is planted with amplitude 1.1,
+    so the clipped bucket is exactly 20% of rows."""
+    from .operators.media import audio_features, synth_wav_table
+
+    n = _sf_n(sf_dir, per_unit=40_000, lo=400)
+    feats = audio_features(synth_wav_table(spark, n, partitions=8))
+    return (
+        feats.withColumn("clipped", F.col("clipped_pct") > 0)
+        .groupBy("clipped")
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.round(F.sum("duration_s"), 3).alias("dur_sum"),
+            F.round(F.sum("rms"), 3).alias("rms_sum"),
+            F.round(F.sum("peak"), 3).alias("peak_sum"),
+            F.sum("zero_crossings").alias("zc_sum"),
+            F.round(F.sum("clipped_pct"), 4).alias("clip_sum"),
+        )
+        .orderBy("clipped")
+    )
+
+
+@register(
     "g11_phash_near_dup",
     """
     SELECT CAST(hamming AS INT) AS hamming, CAST(n_pairs AS BIGINT) AS n_pairs,

@@ -9,17 +9,22 @@ compute is `mapInPandas` over pruned column sets — payload bytes cross
 Arrow once per stage, metadata-only plans never touch them (column
 pruning is asserted in tests).
 
-Codec layer: this container has no libsndfile/ffmpeg, so `decode_audio`
-and `decode_video_frame` use a DETERMINISTIC synthetic decoder for the
-'pcmsynth'/'framesynth' codecs (seeded by the payload hash — stable
-across runs and engines) and raise NotImplementedError for real codecs;
-swap the two functions for soundfile/PyAV calls in a full container and
-every operator here works unchanged.
+Codec layer (round 5): WAV/PCM is a REAL first-class codec — stdlib
+`wave` decode (8/16/32-bit PCM, multi-channel downmixed to mono) plus
+an `encode_wav` writer, the audio twin of PNG in functions/codecs.py.
+'pcmsynth'/'framesynth' remain the deterministic synthetic stand-ins
+(seeded by the payload hash — stable across runs and engines), and
+NotImplementedError is narrowed to genuinely external compressed codecs
+(mp3/opus/flac/aac need ffmpeg/libsndfile, absent in this container);
+swap `decode_audio`/`decode_video_frame` for soundfile/PyAV calls in a
+full container and every operator here works unchanged.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
 from collections.abc import Iterator
 
 import numpy as np
@@ -33,9 +38,68 @@ def _seed_of(data: bytes) -> int:
     return int.from_bytes(hashlib.md5(data).digest()[:8], "big")
 
 
+_WAV_DTYPE = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}
+
+
+def wav_info(data: bytes) -> tuple[int, int, int, int]:
+    """RIFF/WAVE header -> (sample_rate, n_frames, n_channels,
+    sample_width_bytes) via stdlib `wave` — the metadata source of truth
+    for codec='wav' rows (typed metadata columns are a cache of this)."""
+    with wave.open(io.BytesIO(data), "rb") as w:
+        return w.getframerate(), w.getnframes(), w.getnchannels(), w.getsampwidth()
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """-> (float32 mono samples in [-1, 1], sample_rate). Real decode of
+    8-bit unsigned / 16-bit / 32-bit signed PCM; multi-channel is
+    downmixed by channel mean (the standard mono fold)."""
+    with wave.open(io.BytesIO(data), "rb") as w:
+        sr, nf, nch, sw = (
+            w.getframerate(), w.getnframes(), w.getnchannels(), w.getsampwidth()
+        )
+        raw = w.readframes(nf)
+    if sw not in _WAV_DTYPE:
+        raise NotImplementedError(
+            f"{sw * 8}-bit PCM: 24-bit packing needs manual unpack; "
+            "8/16/32-bit are supported"
+        )
+    x = np.frombuffer(raw, dtype=_WAV_DTYPE[sw]).astype(np.float32)
+    if sw == 1:
+        x = (x - 128.0) / 128.0  # 8-bit WAV is unsigned, midpoint 128
+    else:
+        x = x / float(2 ** (8 * sw - 1))
+    if nch > 1:
+        x = x[: (len(x) // nch) * nch].reshape(-1, nch).mean(axis=1)
+    return x.astype(np.float32), sr
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int, sampwidth: int = 2) -> bytes:
+    """float [-1, 1] mono -> WAV bytes (PCM, little-endian). The synth
+    tables use this so the payload column carries REAL decodable WAV —
+    the same bytes a `wave`/soundfile reader outside this repo accepts."""
+    if sampwidth not in _WAV_DTYPE:
+        raise NotImplementedError(f"{sampwidth * 8}-bit PCM write unsupported")
+    x = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    if sampwidth == 1:
+        pcm = np.round(x * 127.0 + 128.0).astype(np.uint8)
+    else:
+        scale = float(2 ** (8 * sampwidth - 1) - 1)
+        pcm = np.round(x * scale).astype(_WAV_DTYPE[sampwidth])
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(sampwidth)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
 def decode_audio(data: bytes, codec: str, sample_rate: int, n_samples: int) -> np.ndarray:
-    """-> float32 mono samples in [-1, 1]. 'pcmsynth' = deterministic
-    synthetic decode (payload-seeded); real codecs are stubbed."""
+    """-> float32 mono samples in [-1, 1]. 'wav' = real stdlib RIFF/PCM
+    decode (see decode_wav); 'pcmsynth' = deterministic synthetic decode
+    (payload-seeded); compressed codecs are stubbed."""
+    if codec == "wav":
+        return decode_wav(data)[0]
     if codec == "pcmsynth":
         rng = np.random.default_rng(_seed_of(data))
         # a seeded tone mix: deterministic, full-scale, cheap
@@ -45,8 +109,9 @@ def decode_audio(data: bytes, codec: str, sample_rate: int, n_samples: int) -> n
             np.float32
         )
     raise NotImplementedError(
-        f"codec {codec!r}: real audio decode needs libsndfile/ffmpeg, absent "
-        "in this container; 'pcmsynth' is the deterministic stand-in"
+        f"codec {codec!r}: compressed-audio decode (mp3/opus/flac/aac) needs "
+        "ffmpeg/libsndfile, absent in this container; 'wav' is the real "
+        "stdlib path, 'pcmsynth' the deterministic stand-in"
     )
 
 
@@ -88,7 +153,12 @@ def audio_features(media: DataFrame) -> DataFrame:
             for media_id, data, codec, sr, ns in zip(
                 pdf["media_id"], pdf["bytes"], pdf["codec"], pdf["sample_rate"], pdf["n_samples"]
             ):
-                x = decode_audio(data, codec, int(sr), int(ns))
+                if codec == "wav":
+                    # the RIFF header is the source of truth for real WAV
+                    # (metadata columns are a cache, not an input)
+                    x, sr = decode_wav(data)
+                else:
+                    x = decode_audio(data, codec, int(sr), int(ns))
                 out.append(
                     (
                         media_id,
@@ -163,6 +233,34 @@ def synth_audio_table(spark, n: int, partitions: int = 8) -> DataFrame:
                     "sample_rate": 16_000,
                     "n_samples": [16_000 + int(i) % 8_000 for i in ids],
                 }
+            )
+
+    return spark.range(0, n, 1, partitions).mapInPandas(
+        gen,
+        "media_id string, bytes binary, codec string, sample_rate int, n_samples int",
+    )
+
+
+def synth_wav_table(spark, n: int, partitions: int = 8) -> DataFrame:
+    """Deterministic REAL-WAV audio table: each payload is a decodable
+    RIFF/PCM-16 file (seeded tone, amplitude cycle planting clipped rows
+    every 5th id) — the metadata columns mirror the header, and any
+    `wave`/soundfile reader outside this repo accepts the bytes."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                i = int(i)
+                sr = 8_000
+                ns = 4_000 + (i % 7) * 500
+                t = np.arange(ns, dtype=np.float64) / sr
+                f0 = 110.0 * (1 + i % 8)
+                amp = 0.5 + (i % 5) * 0.15  # i%5==4 -> 1.1: clips
+                data = encode_wav(amp * np.sin(2 * np.pi * f0 * t), sr)
+                rows.append((f"wav{i:010d}", data, "wav", sr, ns))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "bytes", "codec", "sample_rate", "n_samples"]
             )
 
     return spark.range(0, n, 1, partitions).mapInPandas(

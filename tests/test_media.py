@@ -60,3 +60,68 @@ def test_unknown_codec_raises(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|opus"):
         M.audio_features(a).collect()
+
+
+def test_wav_roundtrip_exact():
+    """encode_wav -> decode_wav round-trips PCM-16 to quantization
+    accuracy and reports the header sample rate."""
+    import numpy as np
+
+    sr = 8000
+    t = np.arange(4000) / sr
+    x = 0.7 * np.sin(2 * np.pi * 220.0 * t)
+    data = M.encode_wav(x, sr)
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+    y, sr2 = M.decode_wav(data)
+    assert sr2 == sr and len(y) == len(x)
+    assert np.abs(y - x).max() < 1.5 / 32767
+    assert M.wav_info(data) == (sr, 4000, 1, 2)
+
+
+def test_wav_8bit_and_downmix():
+    """8-bit unsigned PCM decodes to [-1, 1]; stereo payloads downmix by
+    channel mean."""
+    import io
+    import wave
+
+    import numpy as np
+
+    x = 0.5 * np.sin(2 * np.pi * 110.0 * np.arange(2000) / 8000)
+    y8, _ = M.decode_wav(M.encode_wav(x, 8000, sampwidth=1))
+    assert np.abs(y8 - x).max() < 1.5 / 127  # 8-bit quantization floor
+    # hand-built stereo: L = x, R = -x -> mono mean ~ 0
+    pcm = np.round(np.stack([x, -x], axis=1).reshape(-1) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(pcm.tobytes())
+    ym, _ = M.decode_wav(buf.getvalue())
+    assert len(ym) == 2000 and np.abs(ym).max() < 1e-4
+
+
+def test_wav_features_header_is_truth(spark):
+    """audio_features on codec='wav' rows takes sample rate from the
+    RIFF header, not the metadata column: a deliberately wrong
+    sample_rate column must not change duration_s."""
+    import pyspark.sql.functions as F
+
+    tbl = M.synth_wav_table(spark, 10, partitions=2)
+    feats_ok = {r["media_id"]: r["duration_s"]
+                for r in M.audio_features(tbl).collect()}
+    lied = tbl.withColumn("sample_rate", F.lit(1))
+    feats_lied = {r["media_id"]: r["duration_s"]
+                  for r in M.audio_features(lied).collect()}
+    assert feats_ok == feats_lied
+    # planted clipping: exactly the i%5==4 ids clip
+    clipped = {r["media_id"] for r in M.audio_features(tbl).collect()
+               if r["clipped_pct"] > 0}
+    assert clipped == {f"wav{i:010d}" for i in range(10) if i % 5 == 4}
+
+
+def test_wav_24bit_raises():
+    import numpy as np
+
+    with pytest.raises(NotImplementedError, match="24-bit"):
+        M.encode_wav(np.zeros(10), 8000, sampwidth=3)

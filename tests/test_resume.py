@@ -174,3 +174,43 @@ def test_compact_with_reducer_keeps_ledger(spark, tmp_path):
     rows = sorted(tuple(r) for r in t.read(spark).collect())
     assert rows == [(1, 1, "new"), (2, 0, "x")]
     assert t.processed_chunks("r") == {0, 1}
+
+
+def test_snaptable_iceberg_seam_contract():
+    """The SnapTable->Iceberg swap seam (module docstring): the public
+    surface the engine is allowed to touch is exactly the documented
+    method set, and every method appears in the docstring's
+    mechanism-by-mechanism mapping. pyiceberg is NOT installable in this
+    sandbox (no network installs), so the seam is pinned structurally:
+    a new public method without a documented Iceberg equivalent fails
+    here, keeping the swap local to snaptable.py as designed."""
+    import inspect
+
+    from gtfs_osm_sync_spark.sources import snaptable as ST
+
+    documented = {
+        "append",        # df.writeTo(tbl).append() / manifest commit
+        "compact",       # rewrite_data_files
+        "read",          # spark.table / snapshot read
+        "read_split",    # manifest-level partition-summary pruning
+        "rollback",      # rollback_to_snapshot
+        "snapshot",      # snapshot metadata
+        "snapshots",     # table.snapshots metadata table
+        "is_empty",
+        "current_version",
+        "processed_chunks",    # snapshot summary properties
+        "checkpoint_metrics",  # snapshot summary properties
+    }
+    public = {
+        n for n, m in inspect.getmembers(ST.SnapTable, inspect.isfunction)
+        if not n.startswith("_")
+    }
+    assert public == documented, (
+        f"SnapTable public surface drifted: +{public - documented} "
+        f"-{documented - public}; update the Iceberg mapping in the "
+        "module docstring AND this contract"
+    )
+    doc = ST.__doc__
+    for word in ("rewrite_data_files", "metadata.json", "rollback_to_snapshot",
+                 "VERSION AS OF", "remove_orphan_files", "manifest"):
+        assert word in doc, f"Iceberg mapping lost from docstring: {word}"

@@ -357,3 +357,49 @@ def test_mixed_schema_log_rows_not_dropped(spark, tmp_path):
     ids = {r["osm_id"] for r in pruned.collect()}
     # nOld (NULL cell, pre-upgrade) kept; nNew (real cell, out of ring) pruned
     assert ids == {"nOld"}
+
+
+def test_stream_wrapper_midstream_restart(spark, tmp_path):
+    """Kill-between-batches replay: run the availableNow stream with only
+    b0 present, then drop b1/b2 and run AGAIN with the same checkpoint —
+    the second run must process only the new files (no recommit of b0's
+    ledger chunks) and the merged results must equal the from-scratch
+    batch compare of the final state."""
+    stops, batches = _world(spark)
+    src = tmp_path / "drops_mid"
+    src.mkdir()
+    schema = spark.createDataFrame([], UPDATE_SCHEMA).schema
+    paths = str(src / "*")
+
+    batches[0].coalesce(1).write.mode("overwrite").parquet(str(src / "b0.parquet"))
+    S.stream_node_sync(
+        spark, paths, schema,
+        str(tmp_path / "nodes_mid"), str(tmp_path / "results_mid"),
+        stops, [AG], checkpoint_dir=str(tmp_path / "ckpt_mid"),
+        id_digits=synth._CMP_DIGITS,
+    )
+    nlog = SnapTable(str(tmp_path / "nodes_mid"))
+    rlog = SnapTable(str(tmp_path / "results_mid"))
+    v_n, v_r = nlog.current_version(), rlog.current_version()
+    done_before = set(nlog.processed_chunks("sync"))
+    assert done_before  # b0 committed
+
+    # "restart": same checkpoint, two new drops
+    for i in (1, 2):
+        batches[i].coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"b{i}.parquet"))
+    S.stream_node_sync(
+        spark, paths, schema,
+        str(tmp_path / "nodes_mid"), str(tmp_path / "results_mid"),
+        stops, [AG], checkpoint_dir=str(tmp_path / "ckpt_mid"),
+        id_digits=synth._CMP_DIGITS,
+    )
+    # b0's ledger entries were NOT recommitted, new batch ids are fresh
+    assert done_before <= set(nlog.processed_chunks("sync"))
+    assert nlog.current_version() > v_n and rlog.current_version() > v_r
+
+    merged = S.current_results(rlog, spark)
+    full = C.compare_stops(
+        stops, S.current_nodes(nlog.read(spark)), [AG], id_digits=synth._CMP_DIGITS
+    )
+    assert _sorted_rows(merged) == _sorted_rows(full)

@@ -1,24 +1,30 @@
-"""Incremental-sync delta-path scale evidence (VERDICT r3 item 5).
+"""Incremental-sync delta-path scale evidence (VERDICT r3 item 5; r4
+item 1 adds the FEED side).
 
 Claim under test: a micro-batch of k node updates against an N-stop
 world re-compares only O(k * ring) stops against an O(k * ring) pruned
-node state — wall-time grows with k, not with N, and sits orders below
-the full re-compare at small k.
+node state — and with the round-5 layout, the per-batch I/O on BOTH
+wide tables (feed and node state) is partition-pruned, so wall-time
+grows with k, not with N.
 
 Method (same hygiene as tools/bench_compare.py: staged tmpfs world,
-fresh JVM per phase, taskset-pinned, best-of-3). The node state uses
-the layout apply_update_batch prescribes: hex_cell stamped per row at
-append, parquet partitioned by the COARSE_RES cell.
-  full      — batch compare_stops over all N stops (shuffle path), the
-              cost the delta path avoids
-  delta(k)  — k nodes move ~100 m; affected_stop_ids (stored stop
-              cells) -> stop subset -> coarse_partition_cells filter
-              (real partition pruning on the scan) ->
-              prune_state_to_stop_rings (stored-column semi-join) +
-              known-id shrink -> compare_stops on the subset;
-              measured for k in {100, 10k}
-  delta_noprune(k) — ablation: same subset compare reading the FULL
-              state (the scan stays O(|node layer|))
+fresh JVM per phase, taskset-pinned, best-of-3). Variants per k, each a
+faithful component mirror of apply_update_batch's code path for that
+layout (same scans, same counts):
+  full       — batch compare_stops over all N stops (shuffle path), the
+               cost the delta path avoids
+  delta_r5   — ROUND-5 layout: feed stored partitionBy(cell_part), the
+               stop scan partition-pruned to the changed nodes' coarse
+               rings; n_feed passed (no per-batch feed count); known-id
+               shrink over a cached feed_ids column; node state scan
+               partition-pruned to the sub rings (compacted-base shape)
+  delta_r4   — ROUND-4 formulation: same node-side pruning, but the
+               feed is a flat parquet with a stored hex_cell column —
+               every batch pays a full-feed scan for the affected-stop
+               prejoin, a second for sub.count + gtfs.count, and a
+               third (single-column) for the known-id shrink
+  delta_noprune — ablation: subset compare reading the FULL node state
+               (the scan stays O(|node layer|)) off the r4 feed
 
 Writes BENCH/delta_sync.json (rendered into BENCH/BASELINE.md by
 tools/bench_scaling.regen_md) and prints one JSON line.
@@ -42,13 +48,20 @@ import math, sys
 sys.path.insert(0, {repo!r})
 from gtfs_osm_sync_spark.session import get_spark
 from gtfs_osm_sync_spark import synth
+from gtfs_osm_sync_spark.streaming.sync import stamp_feed_cells
 n = {n_stops}
 scale = math.sqrt(max(n / 100_000, 1.0))
 spark = get_spark(shuffle_partitions=32,
                   extra_conf={{"spark.local.dir": "/dev/shm/bds_stage"}})
 stops, nodes = synth.generate_compare_world(spark, n, spread_scale=scale,
                                             partitions=32)
-stops.write.mode("overwrite").parquet({stage_dir!r} + "/stops")
+stamped = stamp_feed_cells(stops)
+# round-5 feed layout: hive-partitioned by the coarse cell
+(stamped.write.mode("overwrite").partitionBy("cell_part")
+ .parquet({stage_dir!r} + "/stops_part"))
+# round-4 feed layout: flat parquet, stored fine cell only
+stamped.drop("cell_part").write.mode("overwrite").parquet(
+    {stage_dir!r} + "/stops_flat")
 nodes.write.mode("overwrite").parquet({stage_dir!r} + "/nodes")
 print("STAGED")
 """
@@ -60,7 +73,7 @@ from gtfs_osm_sync_spark.session import get_spark
 from gtfs_osm_sync_spark import synth
 from gtfs_osm_sync_spark.operators.compare import compare_stops
 from gtfs_osm_sync_spark.streaming.sync import (
-    affected_stop_ids, prune_state_to_stop_rings)
+    affected_stop_ids, coarse_partition_cells, prune_state_to_stop_rings)
 from gtfs_osm_sync_spark.functions.mappings import zero_pad_id
 import pyspark.sql.functions as F
 
@@ -72,14 +85,18 @@ spark = get_spark(cpus=cpus, shuffle_partitions=cpus * 4,
 stage = {stage_dir!r}
 from gtfs_osm_sync_spark.functions.cells import make_hex_cell_udf
 from gtfs_osm_sync_spark.operators.spatial_join import HEX_RES
-_hexc = make_hex_cell_udf(HEX_RES)
-# feed with its cell stamped at ingest (stored-column contract): the
-# affected-stop scan then reads a column instead of recomputing 4M cells
-# per micro-batch
-stops = (spark.read.parquet(stage + "/stops")
-         .withColumn("hex_cell", _hexc("lat", "lon")).localCheckpoint())
+from gtfs_osm_sync_spark.streaming.sync import COARSE_RES
+hexc = make_hex_cell_udf(HEX_RES)
+coarse = make_hex_cell_udf(COARSE_RES)
+
+stops_part = spark.read.parquet(stage + "/stops_part")
+stops_flat = spark.read.parquet(stage + "/stops_flat")
 nodes = spark.read.parquet(stage + "/nodes")
 n_nodes = nodes.count()
+n_feed = stops_part.count()  # static per feed: apply_update_batch's n_feed
+# cached id column for the known-id shrink (static per feed)
+feed_ids = stops_part.select("gtfs_id").cache()
+feed_ids.count()
 
 def consume(df):
     return df.agg(F.sum(F.hash("gtfs_id", "category", "osm_id")),
@@ -98,18 +115,12 @@ out = {{"cpus": cpus, "n_nodes": n_nodes}}
 
 if {run_full}:
     def full():
-        consume(compare_stops(stops, nodes,
+        consume(compare_stops(stops_flat, nodes,
                               agency_names=[synth.COMPARE_AGENCY],
                               id_digits=synth._CMP_DIGITS,
                               broadcast_stops=False))
     out["full_sec"] = timed(full, trials=2)
 else:
-    from gtfs_osm_sync_spark.functions.cells import make_hex_cell_udf
-    from gtfs_osm_sync_spark.operators.spatial_join import HEX_RES
-    from gtfs_osm_sync_spark.streaming.sync import (
-        COARSE_RES, coarse_partition_cells)
-    hexc = make_hex_cell_udf(HEX_RES)
-    coarse = make_hex_cell_udf(COARSE_RES)
     for k in {ks}:
         # deterministic k-node sample: every (n_nodes//k)-th by numeric id
         step = max(n_nodes // k, 1)
@@ -118,54 +129,74 @@ else:
                  .withColumn("lat", F.col("lat") + F.lit(0.0009)))
         kept = nodes.join(moved.select("osm_id"), "osm_id", "left_anti")
         # the node LOG LAYOUT apply_update_batch prescribes: hex_cell
-        # stamped at append, parquet partitioned by the coarse cell so a
-        # partition filter prunes the SCAN (the 100 TB deployment shape)
+        # stamped at append, parquet partitioned by the coarse cell —
+        # the compacted-base shape read_split hands back (tail empty
+        # here; a real tail is O(batch) and adds one small union)
         state_path = stage + f"/state_k{{k}}"
         (kept.unionByName(moved)
          .withColumn("hex_cell", hexc("lat", "lon"))
          .withColumn("cell_part", coarse("lat", "lon"))
          .write.mode("overwrite").partitionBy("cell_part").parquet(state_path))
-        state_full = spark.read.parquet(state_path)
-        out.setdefault("n_state_partitions", state_full.select("cell_part")
-                       .distinct().count())
+        out.setdefault("n_state_partitions", spark.read.parquet(state_path)
+                       .select("cell_part").distinct().count())
         changed0 = (nodes.join(moved.select("osm_id"), "osm_id", "left_semi")
                     .select("lat", "lon")
                     .unionByName(moved.select("lat", "lon"))
                     .localCheckpoint())
         k_actual = moved.count()
 
-        def delta(prune, changed=changed0, path=state_path):
-            touched = affected_stop_ids(stops, changed)
-            sub = (stops.join(F.broadcast(touched), "gtfs_id", "left_semi")
-                   .localCheckpoint())
-            known = stops
-            if prune:
-                # partition pruning: only the coarse cells in the
-                # affected rings are scanned at all
-                vals = coarse_partition_cells(sub)
-                st = (spark.read.parquet(path)
-                      .filter(F.col("cell_part").isin(vals)))
-                st = prune_state_to_stop_rings(st, sub)
-                raw = F.col("tags").getItem("gtfs_id")
-                node_ids = (st.filter(raw.isNotNull() & (raw != "missing"))
-                            .select(zero_pad_id(raw, synth._CMP_DIGITS)
-                                    .alias("gtfs_id")).distinct())
-                known = stops.select("gtfs_id").join(
-                    F.broadcast(node_ids), "gtfs_id", "left_semi")
-            else:
-                st = spark.read.parquet(path)
-            cmp = compare_stops(sub, st,
-                                agency_names=[synth.COMPARE_AGENCY],
-                                id_digits=synth._CMP_DIGITS,
-                                known_ids=known)
-            return consume(cmp)
+        def pruned_state(sub, path):
+            vals = coarse_partition_cells(sub)
+            st = (spark.read.parquet(path)
+                  .filter(F.col("cell_part").isin(vals)))
+            return prune_state_to_stop_rings(st, sub)
 
-        row = delta(True)
+        def shrink_known(ids_base, st):
+            raw = F.col("tags").getItem("gtfs_id")
+            node_ids = (st.filter(raw.isNotNull() & (raw != "missing"))
+                        .select(zero_pad_id(raw, synth._CMP_DIGITS)
+                                .alias("gtfs_id")).distinct())
+            return ids_base.select("gtfs_id").join(
+                F.broadcast(node_ids), "gtfs_id", "left_semi")
+
+        def run_compare(sub, st, known):
+            return consume(compare_stops(
+                sub, st, agency_names=[synth.COMPARE_AGENCY],
+                id_digits=synth._CMP_DIGITS, known_ids=known))
+
+        def delta_r5(changed=changed0, path=state_path):
+            # apply_update_batch with a cell_part feed + n_feed + feed_ids:
+            # the ONLY feed I/O is the partition-pruned scan
+            feed = stops_part.filter(
+                F.col("cell_part").isin(coarse_partition_cells(changed)))
+            touched = affected_stop_ids(feed, changed)
+            sub = feed.join(F.broadcast(touched), "gtfs_id", "left_semi")
+            n_sub = sub.count()          # fallback numerator (vs n_feed)
+            st = pruned_state(sub, path)
+            return run_compare(sub, st, shrink_known(feed_ids, st))
+
+        def delta_r4(changed=changed0, path=state_path):
+            # round-4 formulation: stored hex_cell but FLAT feed — the
+            # prejoin, the counts, and the known shrink each scan O(feed)
+            touched = affected_stop_ids(stops_flat, changed)
+            sub = stops_flat.join(F.broadcast(touched), "gtfs_id", "left_semi")
+            n_sub, nf = sub.count(), stops_flat.count()
+            st = pruned_state(sub, path)
+            return run_compare(sub, st, shrink_known(stops_flat, st))
+
+        def delta_noprune(changed=changed0, path=state_path):
+            touched = affected_stop_ids(stops_flat, changed)
+            sub = stops_flat.join(F.broadcast(touched), "gtfs_id", "left_semi")
+            st = spark.read.parquet(path)
+            return run_compare(sub, st, stops_flat)
+
+        row = delta_r5()
         out[f"k{{k}}"] = {{
             "k_nodes": k_actual,
             "recompared_stops": row[1],
-            "delta_sec": timed(lambda: delta(True)),
-            "delta_noprune_sec": timed(lambda: delta(False)),
+            "delta_r5_sec": timed(delta_r5),
+            "delta_r4_sec": timed(delta_r4),
+            "delta_noprune_sec": timed(delta_noprune),
         }}
 print("RESULT " + json.dumps(out))
 """
@@ -214,7 +245,7 @@ def main() -> None:
 
         shutil.rmtree(stage, ignore_errors=True)
     summary = {
-        "metric": "incremental-sync delta vs full re-compare",
+        "metric": "incremental-sync delta vs full re-compare (r5 feed layout vs r4 flat feed)",
         "n_stops": n_stops,
         "cpus": cpus,
         "full_sec": full["full_sec"],

@@ -310,9 +310,14 @@ def _delta_sync_section() -> str:
     with open(path) as f:
         d = json.load(f)
     ks = {k: v for k, v in d.items() if k.startswith("k") and isinstance(v, dict)}
+
+    def dsec(v):  # r5 key, falling back to the pre-r5 artifact's key
+        return v.get("delta_r5_sec", v.get("delta_sec"))
+
     rows = "\n".join(
-        f"| {v['k_nodes']:,} | {v['recompared_stops']:,} | {v['delta_sec']} | "
-        f"{v['delta_noprune_sec']} | {round(d['full_sec'] / v['delta_sec'], 1)}x |"
+        f"| {v['k_nodes']:,} | {v['recompared_stops']:,} | {dsec(v)} | "
+        f"{v.get('delta_r4_sec', '—')} | {v['delta_noprune_sec']} | "
+        f"{round(d['full_sec'] / dsec(v), 1)}x |"
         for v in ks.values()
     )
     return f"""## Incremental-sync delta path ({d['n_stops']:,}-stop world, {d['cpus']} cores, fresh JVM per phase, best-of-3)
@@ -327,18 +332,19 @@ cell — so the delta scan partition-prunes to the affected rings
 (feed ∩ pruned-node ids). `no-prune` reads the full state (ablation).
 Full re-compare of the same world: **{d['full_sec']} s**.
 
-| k nodes | re-compared stops | delta (s) | no-prune (s) | speedup vs full |
-|---|---|---|---|---|
+| k nodes | re-compared stops | delta r5 (s) | delta r4-feed (s) | no-prune (s) | r5 speedup vs full |
+|---|---|---|---|---|---|
 {rows}
 
-Findings: at k=100 the delta runs {round(d['full_sec'] / d['k100']['delta_sec'], 1)}x
-under the full re-compare and the pruned scan beats the full-state read;
-the stored cell column is what makes pruning pay (recomputing cells over
-the state per batch measured net-negative). At k=10k — {round(100 * d['k10000']['recompared_stops'] / d['n_stops'])}% of the feed
+Findings: at k=100 the round-5 delta (feed partition-pruned to the
+changed nodes' coarse rings, n_feed/feed_ids precomputed, node base
+partition-pruned) runs {round(d['full_sec'] / dsec(d['k100']), 1)}x under
+the full re-compare; the r4-feed column is the same node-side pruning
+over a FLAT feed — its gap vs r5 is exactly the per-batch O(feed) stop
+scans the round-5 layout removes. At k=10k — {round(100 * d['k10000']['recompared_stops'] / d['n_stops'])}% of the feed
 affected — the delta machinery has no selectivity left and LOSES to the
 full run, so apply_update_batch falls back to a plain full compare above
-`full_recompare_frac` (default 10%) of affected stops. Remaining fixed
-cost at small k is the map-only affected-stop ring scan over the feed.
+`full_recompare_frac` (default 10%) of affected stops.
 Raw JSON: BENCH/delta_sync.json.
 
 """
