@@ -2512,7 +2512,10 @@ def d14(spark, sf_dir):
 
     docs = _docs_aug(spark, sf_dir)
     sigs = DD.minhash_signatures(docs, num_hashes=12)
-    cand = DD.lsh_candidate_pairs(sigs, num_hashes=12, band_rows=3)
+    # materialized once (jobs/run_dedup.py convention): jaccard_pairs
+    # consumes the candidate frame twice; without this the banding
+    # window re-executes per consumer (measured 2x at 100k docs)
+    cand = DD.lsh_candidate_pairs(sigs, num_hashes=12, band_rows=3).localCheckpoint()
     pairs = DD.jaccard_pairs(docs, cand, threshold=0.5, df_cap=8).select(
         "id_a", "id_b"
     )

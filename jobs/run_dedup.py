@@ -54,7 +54,13 @@ def main() -> None:
         num_hashes=args.num_hashes,
         band_rows=args.band_rows,
         max_bucket=args.max_bucket,
-    )
+    ).localCheckpoint()
+    # ^ materialize ONCE: jaccard_pairs consumes the candidate frame
+    # twice (document semi-join prune + final pair filter) — without a
+    # checkpoint the banding window (the composition's most expensive
+    # shuffle after the minhash combine) re-executes per consumer
+    # (measured: 105 -> ~55 s at 100k docs / 8 cores). The frame is
+    # O(candidate pairs) — bounded by design (max_bucket cap).
     metrics: dict = {}
     pairs = jaccard_pairs(
         docs,

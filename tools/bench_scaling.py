@@ -189,14 +189,22 @@ if phase == "dedup":
 
     def run_dd(src):
         sigs = minhash_signatures(src)
-        cand = lsh_candidate_pairs(sigs)
+        # materialized once, same as jobs/run_dedup.py: jaccard_pairs
+        # consumes the candidate frame twice and the banding window must
+        # not re-execute per consumer
+        cand = lsh_candidate_pairs(sigs).localCheckpoint()
         pairs = jaccard_pairs(src, cand, threshold=0.5,
                               df_cap=64).select("id_a", "id_b")
         cc = connected_components(pairs)
         return cc.agg(F.sum(F.hash("doc_id", "component")),
                       F.count("*")).collect()[0]
 
-    run_dd(docs.where("doc_id < 'd000000002000'"))  # warm-up slice
+    # warm-up on the FULL corpus: the minhash md5 loop is JIT-bound
+    # (measured 148 s cold -> 71 s warm at 200k docs / 8 cores); a small
+    # slice never triggers C2 on the hot paths, so short high-core runs
+    # would be measured semi-warm while long low-core runs self-warm
+    # mid-run — deflating efficiency with a pure JVM artifact
+    run_dd(docs)
     t_dd = float("inf")
     members = 0
     for _ in range(2):
@@ -220,19 +228,41 @@ n_stops = {n_stops}
 scale = math.sqrt(max(n / 500_000, 1.0))
 spark = get_spark(shuffle_partitions=64,
                   extra_conf={{"spark.local.dir": "/dev/shm/spark_stager"}})
-(synth.generate_geo_only(spark, n, partitions=64, spread_scale=scale)
- .write.mode("overwrite").parquet({stage_dir!r} + "/geo"))
-(synth.generate_features(spark, n, max(n // 100, 8), spread_scale=scale)
- .write.mode("overwrite").parquet({stage_dir!r} + "/feat"))
-cscale = math.sqrt(max(n_stops / 100_000, 1.0))
-stops, nodes = synth.generate_compare_world(spark, n_stops, spread_scale=cscale,
-                                            partitions=64)
-stops.write.mode("overwrite").parquet({stage_dir!r} + "/stops")
-nodes.write.mode("overwrite").parquet({stage_dir!r} + "/nodes")
-(synth.generate_documents(spark, {n_docs}, partitions=64)
- .write.mode("overwrite").parquet({stage_dir!r} + "/docs"))
+if {need_geo}:  # assign phase reads these (ingest/mosaic self-stage)
+    (synth.generate_geo_only(spark, n, partitions=64, spread_scale=scale)
+     .write.mode("overwrite").parquet({stage_dir!r} + "/geo"))
+    (synth.generate_features(spark, n, max(n // 100, 8), spread_scale=scale)
+     .write.mode("overwrite").parquet({stage_dir!r} + "/feat"))
+if {need_cmp}:
+    cscale = math.sqrt(max(n_stops / 100_000, 1.0))
+    stops, nodes = synth.generate_compare_world(spark, n_stops, spread_scale=cscale,
+                                                partitions=64)
+    stops.write.mode("overwrite").parquet({stage_dir!r} + "/stops")
+    nodes.write.mode("overwrite").parquet({stage_dir!r} + "/nodes")
+if {need_docs}:
+    (synth.generate_documents(spark, {n_docs}, partitions=64)
+     .write.mode("overwrite").parquet({stage_dir!r} + "/docs"))
 print("STAGED")
 """
+
+
+def _host_probe() -> float:
+    """Host-speed probe run in THIS (unpinned, Spark-free) process — the
+    same fixed sha256 workload as tools/bench_compare.py, bracketing
+    every taskset'd phase child so between-leg host drift is measurable
+    (this VM's effective clock swings tens of percent between windows;
+    raw efficiency stays the statistic of record, dc explains outliers)."""
+    import hashlib
+
+    buf = b"\x5a" * (1 << 20)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        h = hashlib.sha256()
+        for _ in range(700):
+            h.update(buf)
+        best = min(best, time.time() - t0)
+    return round(best, 3)
 
 
 def _run(code: str, cpus: int | None, timeout: int = 2400) -> str:
@@ -256,12 +286,18 @@ def run_level(cpus: int, n_images: int, n_stops: int, n_docs: int, stage_dir: st
               phases: tuple = PHASES) -> dict:
     """Run the phases, each in its own JVM, and merge the results."""
     merged: dict = {}
+    probe = _host_probe()
     for phase in phases:
         out = _run(
             _CHILD.format(repo=REPO, cpus=cpus, n_images=n_images, n_stops=n_stops,
                           n_docs=n_docs, stage_dir=stage_dir, phase=phase),
             cpus,
         )
+        probe_after = _host_probe()
+        # per-phase leg probe = min of the probes bracketing that child
+        # (same min statistic as the trials; bench_compare convention)
+        merged[f"{phase}_probe_sec"] = min(probe, probe_after)
+        probe = probe_after
         for line in out.splitlines():
             if line.startswith("RESULT "):
                 merged.update(json.loads(line[len("RESULT ") :]))
@@ -424,7 +460,7 @@ Worlds: flagship pipeline on a density-constant world of 2,500,000
 images (spread_scale = sqrt(n/500k), urban-skewed, deterministic);
 compare phase on a 4,000,000-stop compare world (~4.3M nodes, all five
 category modes planted; semantics brute-force-verified in
-tests/test_compare_world.py); dedup phase on a 100,000-doc synthetic
+tests/test_compare_world.py); dedup phase on a 200,000-doc synthetic
 corpus with ~20% planted near-dups (synth.generate_documents,
 splitmix64-deterministic; composition semantics hash-checked by d14's
 recursive-CTE oracle).
@@ -523,7 +559,7 @@ def main() -> None:
     lo = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     hi = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     n_stops = int(sys.argv[4]) if len(sys.argv) > 4 else 4_000_000
-    n_docs = int(sys.argv[5]) if len(sys.argv) > 5 else 100_000
+    n_docs = int(sys.argv[5]) if len(sys.argv) > 5 else 200_000
     # optional 6th arg: comma-list of phases (e.g. "dedup") — each phase
     # is its own JVM anyway, so a subset pairing is a valid ledger row
     # for exactly the phases it ran (regen's medians pool per phase)
@@ -534,7 +570,8 @@ def main() -> None:
     t0 = time.time()
     out = _run(
         _STAGER.format(repo=REPO, n_images=n_images, n_stops=n_stops, n_docs=n_docs,
-                       stage_dir=stage_dir),
+                       stage_dir=stage_dir, need_geo="assign" in phases,
+                       need_cmp="compare" in phases, need_docs="dedup" in phases),
         None,
     )
     if "STAGED" not in out:
@@ -552,6 +589,14 @@ def main() -> None:
         for p in PHASES
         if _TP_KEY[p] in r_lo and _TP_KEY[p] in r_hi
     }
+    # drift-corrected per phase: eff_c = eff * probe_hi / probe_lo (the
+    # bench_compare convention — if the host ran the hi leg slower than
+    # the lo leg, raw understates the engine by exactly that factor)
+    eff_dc = {
+        p: round(eff[p] * r_hi[f"{p}_probe_sec"] / r_lo[f"{p}_probe_sec"], 3)
+        for p in eff
+        if r_lo.get(f"{p}_probe_sec") and r_hi.get(f"{p}_probe_sec")
+    }
     build = subprocess.run(
         ["git", "rev-parse", "--short", "HEAD"], capture_output=True, text=True, cwd=REPO
     ).stdout.strip()
@@ -568,6 +613,7 @@ def main() -> None:
         "low": r_lo,
         "high": r_hi,
         "eff": eff,
+        "eff_drift_corrected": eff_dc or None,
         "wall_sec": round(time.time() - t0, 1),
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
