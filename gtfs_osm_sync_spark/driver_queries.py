@@ -2225,6 +2225,47 @@ def g10(spark, sf_dir):
 
 
 @register(
+    "g13_video_shot_cuts",
+    """
+    SELECT CAST(has_cut AS BOOLEAN) AS has_cut, CAST(n_clips AS BIGINT) AS n_clips,
+           CAST(id_sum AS BIGINT) AS id_sum, CAST(frames_sum AS BIGINT) AS frames_sum
+    FROM (VALUES (FALSE, 300, 60000, 2400), (TRUE, 100, 19800, 800))
+      AS t(has_cut, n_clips, id_sum, frames_sum)
+    ORDER BY has_cut
+    """,
+)
+def g13(spark, sf_dir):
+    """Video modality with a REAL container codec: parseable RIFF/AVI
+    payloads (operators/media.py encode_avi — avih/strh/strf headers,
+    idx1 seek index, Motion-PNG frames via the repo's own PNG codec)
+    through the per-clip container parse in sample_frames (avih header
+    as metadata source of truth), then shot-boundary detection (classic
+    max inter-frame brightness-delta cut detector, one media_id-keyed
+    window). synth_avi_table plants a colour inversion at the midpoint
+    of every 4th clip with guaranteed margins (ramp delta 2 vs cut
+    delta >=74 vs threshold 60), so exactly 25% of clips cut. The
+    oracle pins the per-bucket clip count, summed numeric ids (set
+    sensitivity), and summed sampled-frame counts at the driver gate's
+    sf=0.01 scale (n=400); all-integer aggregates, no float summation.
+    Container grammar + round-trip + fallback paths are pytest-verified
+    in tests/test_media.py."""
+    from .operators.media import shot_boundaries, synth_avi_table
+
+    n = _sf_n(sf_dir, per_unit=40_000, lo=400)
+    out = shot_boundaries(synth_avi_table(spark, n, partitions=8))
+    return (
+        out.withColumn("_num", F.substring("media_id", 4, 12).cast("long"))
+        .groupBy("has_cut")
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.sum("_num").alias("id_sum"),
+            F.sum("n_frames").alias("frames_sum"),
+        )
+        .orderBy("has_cut")
+    )
+
+
+@register(
     "g12_audio_wav_stats",
     """
     SELECT CAST(clipped AS BOOLEAN) AS clipped, CAST(n_clips AS BIGINT) AS n_clips,

@@ -9,21 +9,26 @@ compute is `mapInPandas` over pruned column sets — payload bytes cross
 Arrow once per stage, metadata-only plans never touch them (column
 pruning is asserted in tests).
 
-Codec layer (round 5): WAV/PCM is a REAL first-class codec — stdlib
-`wave` decode (8/16/32-bit PCM, multi-channel downmixed to mono) plus
-an `encode_wav` writer, the audio twin of PNG in functions/codecs.py.
+Codec layer (round 5): WAV/PCM audio and RIFF/AVI video are REAL
+first-class codecs — stdlib `wave` decode (8/16/32-bit PCM,
+multi-channel downmixed to mono) plus an `encode_wav` writer, and a
+Motion-PNG-in-AVI container (`encode_avi`/`avi_info`/
+`decode_avi_frames`: real RIFF grammar, avih/strh/strf headers, idx1
+seek index, PNG frame payloads via functions/codecs.py).
 'pcmsynth'/'framesynth' remain the deterministic synthetic stand-ins
 (seeded by the payload hash — stable across runs and engines), and
 NotImplementedError is narrowed to genuinely external compressed codecs
-(mp3/opus/flac/aac need ffmpeg/libsndfile, absent in this container);
-swap `decode_audio`/`decode_video_frame` for soundfile/PyAV calls in a
-full container and every operator here works unchanged.
+(mp3/opus/flac/aac audio; h264/vp9/av1 video — need ffmpeg/PyAV,
+absent in this container); swap `decode_audio`/`decode_avi_frames` for
+soundfile/PyAV calls in a full container and every operator here works
+unchanged.
 """
 
 from __future__ import annotations
 
 import hashlib
 import io
+import struct
 import wave
 from collections.abc import Iterator
 
@@ -116,15 +121,179 @@ def decode_audio(data: bytes, codec: str, sample_rate: int, n_samples: int) -> n
 
 
 def decode_video_frame(data: bytes, codec: str, frame_idx: int, h: int, w: int) -> np.ndarray:
-    """-> one uint8 RGB frame. 'framesynth' = deterministic synthetic
-    decode seeded by (payload, frame index); real codecs are stubbed."""
+    """-> one uint8 RGB frame. 'avi' = real RIFF/AVI container parse +
+    PNG frame decode (see encode_avi/decode_avi_frames); 'framesynth' =
+    deterministic synthetic decode seeded by (payload, frame index);
+    inter-frame-compressed codecs are stubbed."""
+    if codec == "avi":
+        return decode_avi_frames(data, [frame_idx])[0]
     if codec == "framesynth":
         rng = np.random.default_rng(_seed_of(data) ^ frame_idx)
         return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
     raise NotImplementedError(
-        f"codec {codec!r}: real video decode needs ffmpeg/PyAV, absent in "
-        "this container; 'framesynth' is the deterministic stand-in"
+        f"codec {codec!r}: inter-frame video decode (h264/vp9/av1) needs "
+        "ffmpeg/PyAV, absent in this container; 'avi' (Motion-PNG in a real "
+        "RIFF/AVI shell) is the real path, 'framesynth' the deterministic "
+        "stand-in"
     )
+
+
+# ---- RIFF/AVI video container: Motion-PNG in a real AVI shell ----------
+#
+# The video twin of the WAV path above: a REAL container format, not a
+# seeded fake. encode_avi writes a standards-shaped AVI — RIFF('AVI ')
+# with LIST hdrl (avih main header + LIST strl [strh 'vids'/'MPNG' +
+# strf BITMAPINFOHEADER]), LIST movi of '00dc' frame chunks, and an
+# idx1 index — whose frame payloads are the repo's own PNG codec
+# (functions/codecs.py png_encode), so any RIFF walker parses the shell
+# and any PNG reader decodes the frames. Inter-frame codecs (h264 etc.)
+# stay behind NotImplementedError; swapping decode_avi_frames for a
+# PyAV call changes nothing upstream.
+
+_AVIF_HASINDEX = 0x10
+_AVIIF_KEYFRAME = 0x10
+
+
+def _riff_chunk(fourcc: bytes, payload: bytes) -> bytes:
+    # RIFF chunks are word-aligned: odd payloads get a pad byte that is
+    # NOT counted in the stored size
+    pad = b"\x00" if len(payload) % 2 else b""
+    return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+
+def _riff_list(list_type: bytes, payload: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + payload)
+
+
+def encode_avi(frames: list[np.ndarray], fps: float) -> bytes:
+    """uint8 (h, w, 3) frames -> AVI bytes (Motion-PNG '00dc' chunks,
+    avih/strh/strf headers carrying real fps/frame-count/geometry, idx1
+    keyframe index). All frames must share one geometry."""
+    from ..functions.codecs import png_encode
+
+    if not frames:
+        raise ValueError("encode_avi needs at least one frame")
+    h, w = frames[0].shape[:2]
+    payloads = []
+    for fr in frames:
+        if fr.shape[:2] != (h, w):
+            raise ValueError("all frames must share one geometry")
+        payloads.append(png_encode(fr))
+    max_bytes = max(len(p) for p in payloads)
+    scale, rate = 1000, int(round(fps * 1000))
+    avih = struct.pack(
+        "<14I",
+        int(round(1_000_000 / fps)),  # dwMicroSecPerFrame
+        int(max_bytes * fps),  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        _AVIF_HASINDEX,  # dwFlags
+        len(frames),  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        max_bytes,  # dwSuggestedBufferSize
+        w,
+        h,
+        0, 0, 0, 0,  # dwReserved
+    )
+    strh = struct.pack(
+        "<4s4s10I4h",
+        b"vids", b"MPNG",
+        0, 0, 0,  # dwFlags, wPriority|wLanguage, dwInitialFrames
+        scale, rate,  # fps = dwRate / dwScale
+        0, len(frames), max_bytes,  # dwStart, dwLength, dwSuggestedBufferSize
+        0xFFFFFFFF, 0,  # dwQuality (default), dwSampleSize
+        0, 0, w, h,  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MPNG", h * w * 3, 0, 0, 0, 0
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    # idx1 offsets point at each chunk's ckid, relative to the 'movi'
+    # fourcc position (the common convention AVI readers expect)
+    movi_body, idx_entries, off = b"", [], 4
+    for p in payloads:
+        ck = _riff_chunk(b"00dc", p)
+        idx_entries.append(struct.pack("<4sIII", b"00dc", _AVIIF_KEYFRAME, off, len(p)))
+        movi_body += ck
+        off += len(ck)
+    movi = _riff_list(b"movi", movi_body)
+    idx1 = _riff_chunk(b"idx1", b"".join(idx_entries))
+    return _riff_chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
+
+
+def _walk_riff(data: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, payload_size) for each chunk in
+    [start, end) — the generic word-aligned RIFF walk."""
+    pos = start
+    while pos + 8 <= end:
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        yield fourcc, pos + 8, size
+        pos += 8 + size + (size % 2)
+
+
+def _avi_toplevel(data: bytes):
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    (riff_size,) = struct.unpack_from("<I", data, 4)
+    return _walk_riff(data, 12, min(8 + riff_size, len(data)))
+
+
+def avi_info(data: bytes) -> tuple[float, int, int, int]:
+    """AVI header -> (fps, n_frames, w, h) from the avih main header —
+    the metadata source of truth for codec='avi' rows, the video twin of
+    wav_info (typed metadata columns are a cache of this)."""
+    fps = nf = w = h = None
+    for fourcc, ps, sz in _avi_toplevel(data):
+        if fourcc == b"LIST" and data[ps : ps + 4] == b"hdrl":
+            for cc2, ps2, sz2 in _walk_riff(data, ps + 4, ps + sz):
+                if cc2 == b"avih":
+                    v = struct.unpack_from("<14I", data, ps2)
+                    fps = fps or 1_000_000 / v[0]
+                    nf, w, h = v[4], v[8], v[9]
+                elif cc2 == b"LIST" and data[ps2 : ps2 + 4] == b"strl":
+                    for cc3, ps3, _ in _walk_riff(data, ps2 + 4, ps2 + sz2):
+                        if cc3 == b"strh" and data[ps3 : ps3 + 4] == b"vids":
+                            _, _, _, _, _, scale, rate = struct.unpack_from(
+                                "<4s4s5I", data, ps3
+                            )
+                            fps = rate / scale  # exact; avih's usec/frame is rounded
+    if nf is None:
+        raise ValueError("no avih header in AVI payload")
+    return fps, nf, w, h
+
+
+def decode_avi_frames(data: bytes, idxs: list[int]) -> list[np.ndarray]:
+    """Decode the frames at `idxs` (0-based) -> uint8 (h, w, 3) each.
+    Seeks via the idx1 index when present (O(requested frames), no full
+    scan); falls back to a sequential movi walk for index-less files."""
+    from ..functions.codecs import png_decode
+
+    movi_pos, chunks = None, None
+    for fourcc, ps, sz in _avi_toplevel(data):
+        if fourcc == b"LIST" and data[ps : ps + 4] == b"movi":
+            movi_pos = ps  # offset of the 'movi' fourcc
+            movi_end = ps + sz
+        elif fourcc == b"idx1":
+            chunks = [
+                struct.unpack_from("<4sIII", data, ps + 16 * i)[2:]
+                for i in range(sz // 16)
+            ]
+    if movi_pos is None:
+        raise ValueError("no movi list in AVI payload")
+    if chunks is not None:
+        locs = [(movi_pos + off + 8, size) for off, size in chunks]
+    else:
+        locs = [
+            (ps, sz)
+            for cc, ps, sz in _walk_riff(data, movi_pos + 4, movi_end)
+            if cc == b"00dc"
+        ]
+    return [png_decode(data[s : s + n]) for i in idxs for s, n in (locs[i],)]
 
 
 AUDIO_FEATURES_SCHEMA = T.StructType(
@@ -200,9 +369,19 @@ def sample_frames(media: DataFrame, every_n: int = 10, max_frames: int = 8) -> D
             for media_id, data, codec, n_frames, h, w in zip(
                 pdf["media_id"], pdf["bytes"], pdf["codec"], pdf["n_frames"], pdf["h"], pdf["w"]
             ):
-                idxs = list(range(0, int(n_frames), max(every_n, 1)))[:max_frames]
-                for i in idxs:
-                    fr = decode_video_frame(data, codec, i, int(h), int(w))
+                if codec == "avi":
+                    # the avih header is the source of truth for real AVI
+                    # (metadata columns are a cache, not an input) — and
+                    # one container parse serves all sampled frames
+                    _, n_frames, _, _ = avi_info(data)
+                    idxs = list(range(0, int(n_frames), max(every_n, 1)))[:max_frames]
+                    frames = decode_avi_frames(data, idxs)
+                else:
+                    idxs = list(range(0, int(n_frames), max(every_n, 1)))[:max_frames]
+                    frames = [
+                        decode_video_frame(data, codec, i, int(h), int(w)) for i in idxs
+                    ]
+                for i, fr in zip(idxs, frames):
                     m = fr.reshape(-1, 3).mean(axis=0)
                     out.append(
                         (
@@ -266,6 +445,79 @@ def synth_wav_table(spark, n: int, partitions: int = 8) -> DataFrame:
     return spark.range(0, n, 1, partitions).mapInPandas(
         gen,
         "media_id string, bytes binary, codec string, sample_rate int, n_samples int",
+    )
+
+
+def synth_avi_table(spark, n: int, partitions: int = 8) -> DataFrame:
+    """Deterministic REAL-AVI video table: each payload is a parseable
+    RIFF/AVI file (Motion-PNG frames at 24x16, 12 fps, 6..10 frames, a
+    per-id colour ramp) whose metadata columns mirror the avih header.
+    Every id % 4 == 0 plants a SCENE CUT: frames from the midpoint on
+    are colour-inverted, so shot-boundary detection has a known answer
+    (exactly 25% of clips cut; ramp-only inter-frame brightness deltas
+    stay at 2, the inversion jumps >=74)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        h, w = 16, 24
+        yy, xx = np.indices((h, w))
+        base = ((yy * 7 + xx * 3) % 64).astype(np.int32)  # static texture
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                i = int(i)
+                nf = 6 + i % 5
+                frames = []
+                for f in range(nf):
+                    # per-id hue + per-frame brightness ramp
+                    # hue bounded % 50 so mid-clip brightness stays in
+                    # [37.5, 90.5]: the inversion's brightness jump is then
+                    # >= 74 while the ramp's is 2 — both far from the
+                    # default cut threshold (60), so detection can't flip
+                    # on float jitter
+                    fr = np.stack(
+                        [
+                            base + (i * 37) % 50 + f * 2,
+                            base + (i * 59) % 50 + f * 2,
+                            base + (i * 83) % 50 + f * 2,
+                        ],
+                        axis=-1,
+                    )
+                    fr = np.clip(fr, 0, 255).astype(np.uint8)
+                    if i % 4 == 0 and f >= nf // 2:
+                        fr = 255 - fr  # the planted scene cut
+                    frames.append(fr)
+                rows.append((f"avi{i:010d}", encode_avi(frames, 12.0), "avi", 12.0, nf, h, w))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "bytes", "codec", "fps", "n_frames", "h", "w"]
+            )
+
+    return spark.range(0, n, 1, partitions).mapInPandas(
+        gen,
+        "media_id string, bytes binary, codec string, fps double, n_frames int, h int, w int",
+    )
+
+
+def shot_boundaries(media: DataFrame, threshold: float = 60.0) -> DataFrame:
+    """Shot-boundary detection: sample every frame, take the per-clip max
+    inter-frame mean-brightness delta (the classic intensity-difference
+    cut detector), flag clips whose max delta exceeds `threshold`.
+    -> (media_id, n_frames, max_delta, has_cut). The window is
+    partitioned per clip (bounded frames-per-clip), so the plan is one
+    shuffle on media_id regardless of corpus size."""
+    from pyspark.sql import Window
+
+    frames = sample_frames(media, every_n=1, max_frames=1 << 30)
+    bright = frames.withColumn(
+        "brightness", (F.col("mean_r") + F.col("mean_g") + F.col("mean_b")) / 3.0
+    )
+    win = Window.partitionBy("media_id").orderBy("frame_idx")
+    deltas = bright.withColumn(
+        "delta", F.abs(F.col("brightness") - F.lag("brightness").over(win))
+    )
+    return deltas.groupBy("media_id").agg(
+        F.count("*").alias("n_frames"),
+        F.round(F.max(F.coalesce("delta", F.lit(0.0))), 4).alias("max_delta"),
+        (F.max(F.coalesce("delta", F.lit(0.0))) > threshold).alias("has_cut"),
     )
 
 
