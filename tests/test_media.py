@@ -227,6 +227,20 @@ def test_avi_frame_sampling_header_is_truth(spark):
         assert sorted(idxs) == list(range(6 + i % 5))
 
 
+def test_shot_boundaries_single_shuffle(spark):
+    """The cut detector's window (partitionBy media_id) and the per-clip
+    groupBy(media_id) must share ONE Exchange: a second shuffle on the
+    same key would double the network cost of the dominant stage at
+    corpus scale."""
+    plan = (
+        M.shot_boundaries(M.synth_avi_table(spark, 8, partitions=2))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning(media_id") == 1
+
+
 def test_avi_shot_boundaries(spark):
     """shot_boundaries flags exactly the planted i%4==0 scene cuts, with
     the designed margins (ramp delta 2, inversion delta >= 74)."""
