@@ -76,17 +76,38 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, h, minhash) — H lexicographic min-hashes over md5(seed:shingle).
 
-    Explode(shingles) x explode(seeds) then a partial-aggregating min per
-    (id, h): map-side combine keeps the shuffle at |docs| * H rows no
-    matter how long the documents are.
+    Computed WIDE: one groupBy(id) with H conditional min columns over
+    the shingle rows (md5(str(h) + ":" + shingle) per column — byte-
+    identical to the seed-explode formulation the SQL oracles mirror),
+    then re-exploded to the long (id, h, minhash) shape. vs the explode-
+    over-seeds + groupBy(id, h) plan this removes the H-fold row
+    multiplication through the aggregate (the H hashes ride as columns
+    of one shingle row) and shrinks the signature shuffle H-fold
+    (|docs| wide rows instead of |docs|*H long rows). The payoff
+    downstream is structural: the output is hash-partitioned by id, and
+    HashPartitioning(id) satisfies the banding aggregation's
+    ClusteredDistribution(id, band), so lsh_candidate_pairs' first
+    groupBy plans with NO exchange — the whole signature->banding path
+    costs ONE shuffle of |docs| rows (pinned in tests/test_dedup.py).
     """
     shingled = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle")
     )
-    seeded = shingled.withColumn(
-        "h", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1)))
-    ).withColumn("hv", F.md5(F.concat(F.col("h").cast("string"), F.lit(":"), F.col("shingle"))))
-    return seeded.groupBy(id_col, "h").agg(F.min("hv").alias("minhash"))
+    wide = shingled.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{h}:"), F.col("shingle")))).alias(f"_h{h}")
+            for h in range(num_hashes)
+        ]
+    )
+    sig = F.array(
+        *[
+            F.struct(F.lit(h).alias("h"), F.col(f"_h{h}").alias("minhash"))
+            for h in range(num_hashes)
+        ]
+    )
+    return wide.select(F.col(id_col), F.explode(sig).alias("_s")).select(
+        id_col, F.col("_s.h").alias("h"), F.col("_s.minhash").alias("minhash")
+    )
 
 
 def lsh_candidate_pairs(
@@ -275,8 +296,17 @@ def _star_round(e: DataFrame, large: bool) -> DataFrame:
     neighborhood G(u) and m = min(G(u) + {u}): large-star rewires every
     neighbor v > u to m; small-star rewires every neighbor v <= u (and u
     itself) to m. Everything is a groupBy + hash join on node id —
-    map-side combined min, no windows, no driver state."""
-    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    map-side combined min, no windows, no driver state.
+
+    sym is NOT deduplicated: duplicate (u,v) rows cannot change the min
+    aggregate, and the round's final .distinct() removes any duplicate
+    outputs they produce — skipping the dedup drops one full shuffle
+    (exchange + two hash aggregates) per star round. The CC stage is
+    latency-bound (tiny edge sets, many sequential stages), so stage
+    count is the cost that matters here, not row count: duplicates are
+    bounded at 2x (the union's two branches) and only flow through one
+    join + filter before the output dedup."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = (
         sym.groupBy("u")
         .agg(F.min("v").alias("_mv"))

@@ -167,3 +167,36 @@ def test_connected_components_chain_logarithmic_rounds(spark):
     }
     assert len(got) == 51
     assert set(got.values()) == {1000}
+
+
+def test_minhash_wide_agg_value_parity_and_single_exchange(spark):
+    """The wide minhash aggregation must (a) produce byte-identical
+    signatures to the definitional explode-over-seeds formulation the SQL
+    oracles mirror, and (b) leave the output hash-partitioned by doc_id
+    so the banding groupBy(doc_id, band) plans WITHOUT its own Exchange —
+    the signature->banding path must cost exactly one doc-keyed shuffle."""
+    docs = _docs(spark)
+    sigs = D.minhash_signatures(docs, num_hashes=6)
+    # definitional reference: explode shingles x seeds, min per (id, h)
+    ref = (
+        docs.select(
+            "doc_id", F.explode(D.word_shingles(F.col("text"), 3)).alias("shingle")
+        )
+        .withColumn("h", F.explode(F.sequence(F.lit(0), F.lit(5))))
+        .withColumn(
+            "hv",
+            F.md5(F.concat(F.col("h").cast("string"), F.lit(":"), F.col("shingle"))),
+        )
+        .groupBy("doc_id", "h")
+        .agg(F.min("hv").alias("minhash"))
+    )
+    assert sigs.exceptAll(ref).count() == 0 and ref.exceptAll(sigs).count() == 0
+
+    plan = (
+        D.lsh_candidate_pairs(sigs, num_hashes=6)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n_doc_keyed = plan.count("hashpartitioning(doc_id")
+    assert n_doc_keyed == 1, f"banding re-shuffled on doc_id:\n{plan}"

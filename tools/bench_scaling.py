@@ -67,8 +67,10 @@ PHASES = ("ingest", "assign", "mosaic", "compare", "dedup")
 # and the current-plan median; rows written before tagging are backfilled
 # from their recorded build hash (see _PLAN_BACKFILL).
 PLAN_TAGS = {
-    "dedup": "agg-banding-ckpt",  # single-aggregation LSH banding (41146fd)
-    #                               + once-checkpointed CC input (85e0a64)
+    "dedup": "agg-banding-symfree-cc",  # single-aggregation LSH banding
+    #   (41146fd) + once-checkpointed CC input (85e0a64) + duplicate-
+    #   tolerant star rounds (no per-round sym distinct: one fewer
+    #   shuffle per star round in the latency-bound CC stage)
 }
 # build-hash prefix -> {phase: tag} for pre-tagging ledger rows; anything
 # not listed ran the legacy plan for every phase (tag None = excluded
@@ -515,7 +517,15 @@ category modes planted; semantics brute-force-verified in
 tests/test_compare_world.py); dedup phase on a 200,000-doc synthetic
 corpus with ~20% planted near-dups (synth.generate_documents,
 splitmix64-deterministic; composition semantics hash-checked by d14's
-recursive-CTE oracle).
+recursive-CTE oracle). A 400,000-doc corpus was tried once (run28) on
+the compare-phase rationale that a bigger world amortizes fixed costs —
+it measured WORSE (0.688 raw / 0.714 dc vs ~0.79/0.80 at 200k): both
+legs slowed per-doc and the 8-core leg slowed more (2,285 vs 2,884
+docs/s), i.e. the dedup composition's 8-core ceiling is memory-bandwidth
+/ spill pressure from 8 concurrent shuffle-heavy tasks, not scheduling
+latency, so growing the corpus amplifies the penalty instead of
+amortizing it. The corpus stays at 200k and the optimization target is
+per-round latency in the CC fixpoint (the measured non-scaling stage).
 
 ### Every recorded run (efficiency per phase)
 
