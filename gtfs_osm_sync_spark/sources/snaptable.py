@@ -38,6 +38,9 @@ deliberate seam is:
   time_travel(version)               VERSION AS OF / snapshot-id read
   orphan files from killed writer    uncommitted data files, removed
                                        by remove_orphan_files
+  write_options in the manifest      table write properties (e.g.
+    (bloom_filter_options)             write.parquet.bloom-filter-
+                                       enabled.column.X)
 
 Partitioned layout + compaction (round 5): a table opened with
 `partition_by="cell_part"` writes every append hive-partitioned by that
@@ -72,6 +75,20 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 
 
+def bloom_filter_options(cols: list[str], ndv: int | None = None) -> dict[str, str]:
+    """Parquet write options enabling a split-block bloom filter on each
+    named column (Iceberg: `write.parquet.bloom-filter-enabled.column.X`).
+    On a point-lookup-heavy log (the node log's osm_id), the reader skips
+    whole row groups whose bloom filter rejects every probed id — the
+    at-scale complement to partition pruning for NON-partition-key
+    lookups. `ndv` sizes the filter (expected distinct values per row
+    group); omitted, parquet's dynamic sizing applies."""
+    out = {f"parquet.bloom.filter.enabled#{c}": "true" for c in cols}
+    if ndv is not None:
+        out.update({f"parquet.bloom.filter.expected.ndv#{c}": str(ndv) for c in cols})
+    return out
+
+
 @dataclass
 class Snapshot:
     version: int
@@ -82,10 +99,16 @@ class Snapshot:
     operation: str
     base_files: list[str] | None = None
     partition_by: str | None = None
+    write_options: dict[str, str] | None = None
 
 
 class SnapTable:
-    def __init__(self, root: str, partition_by: str | None = None):
+    def __init__(
+        self,
+        root: str,
+        partition_by: str | None = None,
+        write_options: dict[str, str] | None = None,
+    ):
         self.root = root
         self.data_dir = os.path.join(root, "data")
         self.meta_dir = os.path.join(root, "_snapshots")
@@ -105,6 +128,15 @@ class SnapTable:
         # re-open without the constructor arg inherits it, so mixed
         # flat/partitioned appends cannot happen by accident
         self.partition_by = partition_by or stored
+        # write_options (e.g. bloom_filter_options) are likewise a table
+        # property (Iceberg write properties): persisted per manifest and
+        # inherited on re-open, so every writer lays files out the same
+        # way; an explicit arg overrides for subsequent commits
+        s = self.snapshot()
+        self.write_options = (
+            write_options if write_options is not None
+            else (s.write_options if s else None)
+        )
 
     def _stored_partition_by(self) -> str | None:
         s = self.snapshot()
@@ -141,6 +173,7 @@ class SnapTable:
             operation=d.get("operation", "append"),
             base_files=d.get("base_files"),
             partition_by=d.get("partition_by"),
+            write_options=d.get("write_options"),
         )
 
     def snapshots(self) -> list[Snapshot]:
@@ -169,6 +202,7 @@ class SnapTable:
             "operation": operation,
             "base_files": base_files,
             "partition_by": self.partition_by,
+            "write_options": self.write_options,
         }
         tmp = self._manifest_path(version) + f".tmp{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
@@ -186,12 +220,22 @@ class SnapTable:
 
     # -- write ------------------------------------------------------------
 
+    def _writer(self, df: DataFrame):
+        """df.write with the table's persisted write_options applied —
+        every commit path (append flat/tree, compact) goes through here
+        so file layout knobs (bloom filters, row-group sizing) hold for
+        the table's whole lifetime regardless of which writer commits."""
+        w = df.write.mode("overwrite")
+        if self.write_options:
+            w = w.options(**self.write_options)
+        return w
+
     def _write_tree(self, df: DataFrame, token: str) -> str:
         """Write df as one immutable hive-partitioned tree under data/,
         returning its manifest-relative path. Same atomicity shape as the
         flat path: data lands in staging, one os.replace publishes it."""
         staging = os.path.join(self.root, f"_staging_{token}")
-        df.write.mode("overwrite").partitionBy(self.partition_by).parquet(staging)
+        self._writer(df).partitionBy(self.partition_by).parquet(staging)
         dst = os.path.join(self.data_dir, token)
         os.replace(staging, dst)
         return os.path.join("data", token)
@@ -203,7 +247,7 @@ class SnapTable:
             new_files = [self._write_tree(df, token)]
         else:
             staging = os.path.join(self.root, f"_staging_{token}")
-            df.write.mode("overwrite").parquet(staging)
+            self._writer(df).parquet(staging)
             new_files = []
             for name in sorted(os.listdir(staging)):
                 if not name.endswith(".parquet"):
@@ -237,7 +281,7 @@ class SnapTable:
             rel = self._write_tree(df, token)
         else:
             staging = os.path.join(self.root, f"_staging_{token}")
-            df.write.mode("overwrite").parquet(staging)
+            self._writer(df).parquet(staging)
             dst = os.path.join(self.data_dir, token)
             os.replace(staging, dst)
             rel = os.path.join("data", token)

@@ -49,11 +49,15 @@ scans are bounded by LAYOUT, not post-scan filters:
   the affected cells, and foreign-ness is a global predicate.
 
 No per-batch stage shuffles anything proportional to the feed or node
-layer. The remaining full-width pass is the `changed` old-position
-lookup (3 pruned columns of the node log semi-joined by the k touched
-ids — map-only); at planet scale, parquet bloom filters on osm_id
-(`parquet.bloom.filter.enabled#osm_id` at compaction) are the knob
-that turns it into row-group point lookups. Measured at 4M stops /
+layer. The last full-width pass — the `changed` old-position lookup (3
+pruned columns of the node log probed by the k touched ids) — is a
+pushed-down In predicate for any batch up to id_pushdown_limit ids; a
+node log written under `bloom_filter_options(["osm_id"])` (SnapTable
+write_options, applied at append AND compaction) turns that predicate
+into row-group point lookups: the parquet reader skips every row group
+whose osm_id bloom filter rejects all k probed ids. Both halves are
+pinned in tests (bloom filter present in the footer; In(osm_id...) in
+PushedFilters). Measured at 4M stops /
 4.3M nodes / 8 cores (BENCH/delta_sync.json): see the delta_sync
 rows — the stored column matters (recomputing cells over the state
 per batch was NET-NEGATIVE), and wide batches fall back to the plain
@@ -288,6 +292,7 @@ def apply_update_batch(
     full_recompare_frac: float | None = 0.1,
     n_feed: int | None = None,
     feed_ids: DataFrame | None = None,
+    id_pushdown_limit: int = 1000,
     **compare_kw,
 ) -> int:
     """One micro-batch of the incremental sync. `updates` rows use the
@@ -325,7 +330,13 @@ def apply_update_batch(
       global predicate over the whole feed (see _probe_pairs).
     - a node log opened with partition_by="cell_part" and periodically
       compact_node_log()'d gets its base scan partition-pruned here
-      (prune_node_cells; tail read in full — see read_split)."""
+      (prune_node_cells; tail read in full — see read_split).
+    - a node log opened with write_options=bloom_filter_options(
+      ["osm_id"]) gets the old-position lookup's In(osm_id, ...)
+      predicate (pushed for batches up to id_pushdown_limit ids)
+      answered by row-group bloom filters — point lookups instead of a
+      full-log column pass; id_pushdown_limit=0 keeps the semi-join
+      formulation for every batch."""
     bid = int(batch_id)
     node_done = bid in node_log.processed_chunks(run_id)
     result_done = bid in result_log.processed_chunks(run_id + "_results")
@@ -355,11 +366,27 @@ def apply_update_batch(
 
     # a node that MOVED influences its old neighborhood too: take every
     # position the touched ids ever held (superset of old∪new; extra
-    # stops just re-compare to the same answer). Map-only 3-column scan
-    # of the log; parquet bloom filters on osm_id are the at-scale knob.
-    changed = log_df.join(
-        upd.select("osm_id").distinct(), "osm_id", "left_semi"
-    ).select("lat", "lon").unionByName(upd.select("lat", "lon"))
+    # stops just re-compare to the same answer). For a normal-sized
+    # batch the touched ids are collected (bounded: O(k), the same
+    # contract as coarse_partition_cells) and pushed into the scan as an
+    # In predicate — with the node log written under
+    # bloom_filter_options(["osm_id"]) the parquet reader then skips
+    # every row group whose bloom filter rejects all k ids (row-group
+    # point lookups instead of a full-log pass; pushdown + bloom both
+    # pinned in tests). Batches wider than id_pushdown_limit keep the
+    # semi-join (a thousands-deep In list bloats the plan and the
+    # filter evaluates per-row anyway).
+    batch_ids = [
+        r["osm_id"]
+        for r in upd.select("osm_id").distinct().limit(id_pushdown_limit + 1).collect()
+    ]
+    if len(batch_ids) <= id_pushdown_limit:
+        touched_log = log_df.filter(F.col("osm_id").isin(batch_ids))
+    else:
+        touched_log = log_df.join(
+            upd.select("osm_id").distinct(), "osm_id", "left_semi"
+        )
+    changed = touched_log.select("lat", "lon").unionByName(upd.select("lat", "lon"))
 
     if result_log.is_empty():
         # bootstrap: the first batch is the initial snapshot — every stop

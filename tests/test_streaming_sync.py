@@ -403,3 +403,95 @@ def test_stream_wrapper_midstream_restart(spark, tmp_path):
         stops, S.current_nodes(nlog.read(spark)), [AG], id_digits=synth._CMP_DIGITS
     )
     assert _sorted_rows(merged) == _sorted_rows(full)
+
+
+def _bloom_filters(spark, parquet_file, col):
+    """(n_chunks, n_with_bloom) for `col` across the file's row groups,
+    read back through parquet-java — the same reader Spark scans with.
+    A zero-row part file has no row groups and returns (0, 0)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(parquet_file)
+    inf = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf)
+    reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(inf)
+    n = have = 0
+    try:
+        blocks = reader.getFooter().getBlocks()
+        for bi in range(blocks.size()):
+            cols = blocks.get(bi).getColumns()
+            for ci in range(cols.size()):
+                c = cols.get(ci)
+                if c.getPath().toDotString() == col:
+                    n += 1
+                    if reader.readBloomFilter(c) is not None:
+                        have += 1
+        return n, have
+    finally:
+        reader.close()
+
+
+def test_bloom_filter_written_and_id_pushdown(spark, tmp_path):
+    """The node-log point-lookup layout: a log opened with
+    bloom_filter_options(["osm_id"]) writes an osm_id bloom filter into
+    every data file (append AND the property survives re-open — it is a
+    table property, not a one-shot writer arg), and the touched-id
+    lookup pushes In(osm_id, ...) into the parquet scan — together these
+    turn the per-batch old-position pass into row-group point lookups."""
+    import glob
+
+    from gtfs_osm_sync_spark.sources.snaptable import bloom_filter_options
+
+    opts = bloom_filter_options(["osm_id"], ndv=100_000)
+    stops, batches = _world(spark)
+    nlog = SnapTable(str(tmp_path / "nodes_bloom"), write_options=opts)
+    rlog = SnapTable(str(tmp_path / "results_bloom"))
+    for bid, b in enumerate(batches):
+        S.apply_update_batch(
+            spark, b, nlog, rlog, stops, [AG], bid,
+            full_recompare_frac=None, id_digits=synth._CMP_DIGITS,
+        )
+    files = glob.glob(
+        str(tmp_path / "nodes_bloom" / "data" / "**" / "*.parquet"), recursive=True
+    )
+    assert files
+    # every non-empty row group carries the osm_id bloom filter (empty
+    # part files have no row groups — vacuously fine), and at least one
+    # real chunk exists
+    counts = [_bloom_filters(spark, f, "osm_id") for f in files]
+    assert sum(n for n, _ in counts) > 0
+    assert all(n == have for n, have in counts)
+    # re-open WITHOUT the arg: options inherited from the manifest
+    assert SnapTable(str(tmp_path / "nodes_bloom")).write_options == opts
+    # control: an option-less table writes no bloom filter
+    ctl = SnapTable(str(tmp_path / "nodes_ctl"))
+    ctl.append(batches[0].withColumn("update_seq", F.lit(0)))
+    ctl_files = glob.glob(str(tmp_path / "nodes_ctl" / "data" / "*.parquet"))
+    ctl_counts = [_bloom_filters(spark, f, "osm_id") for f in ctl_files]
+    assert sum(n for n, _ in ctl_counts) > 0
+    assert sum(have for _, have in ctl_counts) == 0
+    # the old-position lookup's predicate reaches the scan
+    probe = nlog.read(spark).filter(F.col("osm_id").isin(["n2", "n5"]))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    scans = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert scans and all("osm_id" in s.split("PushedFilters")[1] for s in scans)
+
+
+def test_id_pushdown_limit_zero_equals_default(spark, tmp_path):
+    """id_pushdown_limit=0 forces the semi-join formulation of the
+    old-position lookup (the wide-batch path); merged results must equal
+    the from-scratch batch compare, i.e. the In-pushdown fast path and
+    the semi-join are interchangeable."""
+    stops, batches = _world(spark)
+    nlog = SnapTable(str(tmp_path / "nodes_sj"))
+    rlog = SnapTable(str(tmp_path / "results_sj"))
+    for bid, b in enumerate(batches):
+        S.apply_update_batch(
+            spark, b, nlog, rlog, stops, [AG], bid,
+            full_recompare_frac=None, id_pushdown_limit=0,
+            id_digits=synth._CMP_DIGITS,
+        )
+    merged = S.current_results(rlog, spark)
+    full = C.compare_stops(
+        stops, S.current_nodes(nlog.read(spark)), [AG], id_digits=synth._CMP_DIGITS
+    )
+    assert _sorted_rows(merged) == _sorted_rows(full)
