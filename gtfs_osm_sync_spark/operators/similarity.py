@@ -51,14 +51,33 @@ def brute_force_topk(
     Broadcast the (small) query side; corpus streams through one stage.
     Excludes self-pairs. Tie-break on neighbor id for determinism.
     Returns (q_id, n_id, rank_k, sim).
+
+    Norms are precomputed ONCE per side before the cross join — the
+    array folds are Catalyst higher-order functions (not codegen'd), so
+    folding 3 per pair dominated the scan; per-side precompute cuts the
+    per-pair work to the single dot fold. Bit-identical to the naive
+    form: `cosine` is dot/(norm(a)*norm(b)) and both factors are the
+    same sqrt-of-self-dot fold, so the pinned g06 literal oracle and the
+    recall tests see unchanged sims.
     """
     q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
     )
-    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    c = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        norm(F.col(vec_col)).alias("n_norm"),
+    )
     pairs = c.crossJoin(F.broadcast(q)).filter(F.col("q_id") != F.col("n_id"))
     scored = pairs.withColumn(
-        "sim", F.round(cosine(F.col("q_vec"), F.col("n_vec")), round_dp)
+        "sim",
+        F.round(
+            dot(F.col("q_vec"), F.col("n_vec"))
+            / (F.col("q_norm") * F.col("n_norm")),
+            round_dp,
+        ),
     )
     w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
     return (
@@ -110,14 +129,27 @@ def lsh_topk(
     measure recall against brute_force_topk.
     """
     bucket = lsh_bucket(F.col(vec_col), n_bits, dim)
+    # per-side norm precompute (see brute_force_topk): one fold per pair
     q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), bucket.alias("bucket")
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+        bucket.alias("bucket"),
     )
     c = corpus.select(
-        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), bucket.alias("bucket")
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        norm(F.col(vec_col)).alias("n_norm"),
+        bucket.alias("bucket"),
     )
     pairs = c.join(F.broadcast(q), "bucket").filter(F.col("q_id") != F.col("n_id"))
-    scored = pairs.withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("n_vec")), 3))
+    scored = pairs.withColumn(
+        "sim",
+        F.round(
+            dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_norm") * F.col("n_norm")),
+            3,
+        ),
+    )
     w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
     return (
         scored.withColumn("rank_k", F.row_number().over(w))
@@ -138,11 +170,26 @@ def cosine_dedup_pairs(
     Exact (self cross join) — the oracle-checkable baseline. The LSH
     variant above is the 100 TB formulation.
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        norm(F.col(vec_col)).alias("norm_a"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        norm(F.col(vec_col)).alias("norm_b"),
+    )
     pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
     return (
-        pairs.withColumn("sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), round_dp))
+        pairs.withColumn(
+            "sim",
+            F.round(
+                dot(F.col("vec_a"), F.col("vec_b"))
+                / (F.col("norm_a") * F.col("norm_b")),
+                round_dp,
+            ),
+        )
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
@@ -220,7 +267,11 @@ def ivf_topk(
     force in tests; deterministic tie-breaks throughout.
     """
     c = F.broadcast(centroids.select("list_id", F.col(vec_col).alias("c_vec")))
-    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+    )
     probes = (
         q.crossJoin(c)
         .withColumn("c_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
@@ -231,15 +282,26 @@ def ivf_topk(
             ),
         )
         .filter(F.col("_rn") <= nprobe)
-        .select("q_id", "q_vec", "list_id")
+        .select("q_id", "q_vec", "q_norm", "list_id")
     )
+    # per-side norm precompute (see brute_force_topk): the candidate
+    # re-rank — the O(corpus/n_lists * nprobe) hot path — folds once
     cand = corpus_assigned.select(
-        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), "list_id"
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        norm(F.col(vec_col)).alias("n_norm"),
+        "list_id",
     )
     pairs = cand.join(F.broadcast(probes), "list_id").filter(
         F.col("q_id") != F.col("n_id")
     )
-    scored = pairs.withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("n_vec")), 3))
+    scored = pairs.withColumn(
+        "sim",
+        F.round(
+            dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_norm") * F.col("n_norm")),
+            3,
+        ),
+    )
     w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
     return (
         scored.withColumn("rank_k", F.row_number().over(w))
@@ -272,14 +334,21 @@ def lsh_topk_multiprobe(
         ]
     q = (
         queries.select(
-            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), bucket.alias("b0")
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            # norm BEFORE the probe explode: one fold per query, not per probe
+            norm(F.col(vec_col)).alias("q_norm"),
+            bucket.alias("b0"),
         )
         .withColumn("flip", F.explode(F.array(*[F.lit(x) for x in flips])))
         .withColumn("bucket", F.expr("int(b0) ^ int(flip)"))
         .drop("b0", "flip")
     )
     c = corpus.select(
-        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), bucket.alias("bucket")
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        norm(F.col(vec_col)).alias("n_norm"),
+        bucket.alias("bucket"),
     )
     pairs = (
         c.join(F.broadcast(q), "bucket")
@@ -288,7 +357,13 @@ def lsh_topk_multiprobe(
         # rank so duplicates don't consume top-k slots
         .dropDuplicates(["q_id", "n_id"])
     )
-    scored = pairs.withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("n_vec")), 3))
+    scored = pairs.withColumn(
+        "sim",
+        F.round(
+            dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_norm") * F.col("n_norm")),
+            3,
+        ),
+    )
     w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
     return (
         scored.withColumn("rank_k", F.row_number().over(w))
@@ -333,23 +408,55 @@ def kmeans_centroids(
     (tightens inverted lists vs the hash-seeded make_centroids; recall
     measured in tests, never assumed).
 
-    Scale shape per iteration: ONE map-only assignment pass (literal
-    centroid fold, no join) + ONE partial-aggregating shuffle
-    (groupBy(list_id, dim_pos).avg over posexploded components, keyed on
-    n_lists*dim tiny key space) + a driver collect of n_lists*dim
-    doubles. Component means are rounded to `round_dp` before being baked
-    into the next plan, pinning run-to-run determinism against float
-    summation order. Empty lists keep their previous centroid."""
+    Scale shape per iteration: a broadcast-join assignment (train rows x
+    n_lists scored pairs, reduced by a map-side-partial min(struct) agg —
+    NOT the literal fold `ivf_assign_literal` uses: a fold over n_lists
+    * dim literals costs tens of seconds of PLAN COMPILE per iteration,
+    a fixed driver-side cost that would repeat every Lloyd round; the
+    broadcast join keeps every plan small and the work on executors) +
+    ONE partial-aggregating shuffle (groupBy(list_id, dim_pos).avg over
+    posexploded components, keyed on n_lists*dim tiny key space) + a
+    driver collect of n_lists*dim doubles. Assignment ties break exactly
+    like _best_list_expr (highest sim, then lowest list_id — min over a
+    (-sim, list_id) struct), so swapping the mechanism never moves a
+    vector: the trained centroids are bit-identical to the fold-based
+    form (g07's pinned oracle re-verified). Component means are rounded
+    to `round_dp` before the next round, pinning run-to-run determinism
+    against float summation order. Empty lists keep their previous
+    centroid."""
+    spark = corpus.sparkSession
     seeds = make_centroids(corpus, n_lists, id_col, vec_col).collect()
     cents: dict[int, list[float]] = {
         int(r["list_id"]): [float(x) for x in r[vec_col]] for r in seeds
     }
+    src = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        norm(F.col(vec_col)).alias("_vn"),
+    )
     for _ in range(iters):
-        assigned = corpus.withColumn(
-            "list_id", _best_list_expr(F.col(vec_col), sorted(cents.items()))
+        cdf = F.broadcast(
+            spark.createDataFrame(
+                [(lid, v) for lid, v in sorted(cents.items())],
+                "list_id int, _cv array<double>",
+            ).withColumn("_cn", norm(F.col("_cv")))
+        )
+        # same arithmetic as cosine(vec, c_vec): dot / (norm(a) * norm(b))
+        sim = dot(F.col("_v"), F.col("_cv")) / (F.col("_vn") * F.col("_cn"))
+        best = (
+            src.join(cdf)
+            .groupBy("_id")
+            # _v rides the struct BEHIND list_id: per-group list_ids are
+            # distinct, so the array never participates in the comparison
+            .agg(
+                F.min(
+                    F.struct((-sim).alias("_ns"), F.col("list_id"), F.col("_v"))
+                ).alias("_b")
+            )
+            .select(F.col("_b.list_id").alias("list_id"), F.col("_b._v").alias("_v"))
         )
         means = (
-            assigned.select("list_id", F.posexplode(vec_col).alias("pos", "x"))
+            best.select("list_id", F.posexplode("_v").alias("pos", "x"))
             .groupBy("list_id", "pos")
             .agg(F.round(F.avg("x"), round_dp).alias("m"))
             .collect()
@@ -359,7 +466,6 @@ def kmeans_centroids(
             new_cents.setdefault(int(r["list_id"]), {})[int(r["pos"])] = float(r["m"])
         for lid, comp in new_cents.items():
             cents[lid] = [comp[i] for i in range(len(comp))]
-    spark = corpus.sparkSession
     return spark.createDataFrame(
         [(lid, vec) for lid, vec in sorted(cents.items())],
         f"list_id int, {vec_col} array<double>",

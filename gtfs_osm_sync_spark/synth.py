@@ -638,3 +638,37 @@ def generate_documents(
             yield gen_documents_pdf(pdf["id"].to_numpy(), dup_frac, n_words)
 
     return spark.range(0, n_docs, 1, partitions).mapInPandas(gd, DOCS_SCHEMA)
+
+
+def generate_embeddings(
+    spark: SparkSession,
+    n_vecs: int,
+    dim: int = 64,
+    n_clusters: int = 64,
+    eps: float = 0.5,
+    partitions: int = 8,
+) -> DataFrame:
+    """Distributed deterministic clustered-embedding corpus for the ANN
+    recall/scaling bench (same shape as the driver's `embeddings` table:
+    (vec_id bigint, embedding array<double>)).
+
+    Structure: vector i sits on cluster (i % n_clusters); component d is
+    a xxhash64-derived uniform in [-1, 1] for the cluster base plus
+    eps * an i-specific jitter — so ground-truth neighbors of a query are
+    its jitter-aligned same-cluster vectors (non-trivial top-k inside a
+    cluster), cross-cluster cosine ~ 0, and every value is a pure
+    function of (vec_id, d): identical at any parallelism, no stored
+    model, no RNG. Pure codegen (sequence/transform over xxhash64), no
+    Python in the row path."""
+
+    def unit(*cols):  # xxhash64 -> uniform in [-1, 1], 1e-4 grain
+        return F.pmod(F.xxhash64(*cols), F.lit(20001)) / 10000.0 - 1.0
+
+    cl = (F.col("id") % n_clusters).cast("long")
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: unit(F.lit("c"), cl, d) + eps * unit(F.lit("j"), F.col("id"), d),
+    )
+    return spark.range(0, n_vecs, 1, partitions).select(
+        F.col("id").alias("vec_id"), emb.alias("embedding")
+    )

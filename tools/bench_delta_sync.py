@@ -191,12 +191,14 @@ else:
             return run_compare(sub, st, stops_flat)
 
         row = delta_r5()
+        # trials=2 per variant: 3 variants x 2 ks already totals ~24
+        # heavy compare runs; trials=3 blew the child's 2400 s budget
         out[f"k{{k}}"] = {{
             "k_nodes": k_actual,
             "recompared_stops": row[1],
-            "delta_r5_sec": timed(delta_r5),
-            "delta_r4_sec": timed(delta_r4),
-            "delta_noprune_sec": timed(delta_noprune),
+            "delta_r5_sec": timed(delta_r5, trials=2),
+            "delta_r4_sec": timed(delta_r4, trials=2),
+            "delta_noprune_sec": timed(delta_noprune, trials=2),
         }}
 print("RESULT " + json.dumps(out))
 """
@@ -239,7 +241,8 @@ def main() -> None:
         full = _result(_run(_CHILD.format(
             repo=REPO, cpus=cpus, stage_dir=stage, run_full="True", ks=ks), cpus))
         delta = _result(_run(_CHILD.format(
-            repo=REPO, cpus=cpus, stage_dir=stage, run_full="False", ks=ks), cpus))
+            repo=REPO, cpus=cpus, stage_dir=stage, run_full="False", ks=ks), cpus,
+            timeout=5400))
     finally:
         import shutil
 

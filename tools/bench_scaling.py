@@ -20,6 +20,12 @@ Phases measured end to end, each in its own JVM per level:
             jobs/run_dedup.py): MinHash -> LSH banding -> df-capped
             Jaccard verify -> connected components, on a synthetic
             corpus with planted near-dups (synth.generate_documents)
+  ann     — the similarity-search pipeline end to end on a clustered
+            embedding corpus (synth.generate_embeddings): sample-trained
+            k-means IVF index build (literal map-only assign) + IVF
+            nprobe search + multiprobe sign-LSH search; recall@10 vs a
+            pre-staged brute-force ground truth is recorded PER LEVEL
+            (deterministic — cross-level equality is itself evidence)
 
 EVERY run appends its raw JSON to BENCH/runs.jsonl (committed), and
 BENCH/BASELINE.md is REGENERATED from the full ledger: per-run
@@ -59,7 +65,7 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LEDGER = os.path.join(REPO, "BENCH", "runs.jsonl")
-PHASES = ("ingest", "assign", "mosaic", "compare", "dedup")
+PHASES = ("ingest", "assign", "mosaic", "compare", "dedup", "ann")
 
 # Physical-plan generation per phase, recorded into each ledger row and
 # bumped whenever the measured plan changes (a median across different
@@ -71,6 +77,9 @@ PLAN_TAGS = {
     #   (41146fd) + once-checkpointed CC input (85e0a64) + duplicate-
     #   tolerant star rounds (no per-round sym distinct: one fewer
     #   shuffle per star round in the latency-bound CC stage)
+    "ann": "norm-precompute-ivf128",  # per-side norm precompute in every
+    #   pair scorer (one array fold per pair, not three) + 128-list IVF
+    #   trained on a 5% sample, literal map-only full-corpus assign
 }
 # build-hash prefix -> {phase: tag} for pre-tagging ledger rows; anything
 # not listed ran the legacy plan for every phase (tag None = excluded
@@ -241,6 +250,75 @@ if phase == "dedup":
     out.update(dedup_n=n_docs, dedup_members=members, dedup_sec=round(t_dd, 2),
                dedup_docs_per_sec=round(n_docs / t_dd, 1))
 
+if phase == "ann":
+    # similarity-search pipeline end to end: IVF index BUILD (k-means on
+    # a 5% sample -> literal map-only assign of the full corpus) + IVF
+    # nprobe=8 search + multiprobe sign-LSH search. The build's full
+    # assign pass is the corpus-size-bound stage — exactly the work that
+    # must scale — so it is INSIDE the timed unit, not amortized away.
+    from gtfs_osm_sync_spark.operators.similarity import (
+        kmeans_centroids, ivf_assign_literal, ivf_topk, lsh_topk_multiprobe)
+    N_LISTS, NPROBE, N_BITS, N_FLIP, K = 128, 8, 10, 2, 10
+    corpus = spark.read.parquet(stage + "/vecs").cache()
+    n_vecs = corpus.count()
+    qstep = max(n_vecs // 100, 1)
+    q = corpus.filter(F.col("vec_id") % qstep == 0).cache()
+    n_q = q.count()
+    gt = spark.read.parquet(stage + "/gt").cache()
+    n_gt = gt.count()
+
+    def consume_ann(df):
+        return df.agg(F.sum(F.hash("q_id", "n_id", "rank_k")),
+                      F.count("*")).collect()[0]
+
+    keep = {}
+
+    def ann_all(retain=False):
+        train = corpus.filter(F.col("vec_id") % 20 == 0)
+        cents = kmeans_centroids(train, n_lists=N_LISTS, iters=3)
+        assigned = ivf_assign_literal(corpus, cents).persist()
+        assigned.count()  # materialize the inverted lists
+        consume_ann(ivf_topk(q, assigned, cents, k=K, nprobe=NPROBE))
+        consume_ann(lsh_topk_multiprobe(q, corpus, k=K,
+                                        n_bits=N_BITS, n_flip=N_FLIP))
+        if retain:
+            keep.update(cents=cents, assigned=assigned)
+        else:
+            assigned.unpersist()
+
+    # warm-up: same code paths (fold loops, window rank) on a 10% slice
+    # — the interpreted higher-order-function folds are JIT-bound like
+    # the minhash loop above
+    warm = corpus.filter(F.col("vec_id") % 10 == 0)
+    cw = kmeans_centroids(warm, n_lists=16, iters=1)
+    aw = ivf_assign_literal(warm, cw).persist()
+    consume_ann(ivf_topk(q, aw, cw, k=K, nprobe=2))
+    aw.unpersist()
+    consume_ann(lsh_topk_multiprobe(q, warm, k=K, n_bits=N_BITS, n_flip=N_FLIP))
+
+    t_ann = float("inf")
+    for i in range(2):
+        t5 = time.time()
+        ann_all(retain=(i == 1))
+        t_ann = min(t_ann, time.time() - t5)
+
+    # recall@10 vs the staged brute-force GT (deterministic per corpus:
+    # must be IDENTICAL across parallelism levels) + nprobe=1 ablation
+    def recall(df):
+        hit = gt.join(df.select("q_id", "n_id"), ["q_id", "n_id"],
+                      "left_semi").count()
+        return round(hit / max(n_gt, 1), 4)
+
+    cents, assigned = keep["cents"], keep["assigned"]
+    out.update(
+        ann_n=n_vecs, ann_queries=n_q, ann_sec=round(t_ann, 2),
+        ann_vecs_per_sec=round(n_vecs / t_ann, 1),
+        ann_recall_ivf=recall(ivf_topk(q, assigned, cents, k=K, nprobe=NPROBE)),
+        ann_recall_ivf_nprobe1=recall(ivf_topk(q, assigned, cents, k=K, nprobe=1)),
+        ann_recall_lsh=recall(
+            lsh_topk_multiprobe(q, corpus, k=K, n_bits=N_BITS, n_flip=N_FLIP)),
+    )
+
 print("RESULT " + json.dumps(out))
 """
 
@@ -249,6 +327,7 @@ import math, sys
 sys.path.insert(0, {repo!r})
 from gtfs_osm_sync_spark.session import get_spark
 from gtfs_osm_sync_spark import synth
+import pyspark.sql.functions as F
 n = {n_images}
 n_stops = {n_stops}
 scale = math.sqrt(max(n / 500_000, 1.0))
@@ -268,6 +347,17 @@ if {need_cmp}:
 if {need_docs}:
     (synth.generate_documents(spark, {n_docs}, partitions=64)
      .write.mode("overwrite").parquet({stage_dir!r} + "/docs"))
+if {need_ann}:
+    nv = {n_vecs}
+    vecs = synth.generate_embeddings(spark, nv, partitions=64)
+    vecs.write.mode("overwrite").parquet({stage_dir!r} + "/vecs")
+    # brute-force ground truth for recall@10 — computed ONCE here
+    # (unpinned stager JVM; GT is shared input, not a timed phase)
+    from gtfs_osm_sync_spark.operators.similarity import brute_force_topk
+    corpus = spark.read.parquet({stage_dir!r} + "/vecs")
+    q = corpus.filter(F.col("vec_id") % max(nv // 100, 1) == 0)
+    (brute_force_topk(q, corpus, k=10)
+     .write.mode("overwrite").parquet({stage_dir!r} + "/gt"))
 print("STAGED")
 """
 
@@ -341,6 +431,7 @@ _TP_KEY = {
     "mosaic": "mosaic_images_per_sec",
     "compare": "compare_stops_per_sec",
     "dedup": "dedup_docs_per_sec",
+    "ann": "ann_vecs_per_sec",
 }
 _PHASE_DESC = {
     "ingest": "synth + fused geotag + parquet write",
@@ -348,6 +439,7 @@ _PHASE_DESC = {
     "mosaic": "decode + per-cell stitch, applyInPandas",
     "compare": "stop-vs-node categorize + tag merge (reference core task, shuffle path)",
     "dedup": "MinHash -> LSH -> Jaccard verify -> CC (d14 composition)",
+    "ann": "IVF index build (sample k-means + literal assign) + IVF/LSH search",
 }
 
 
@@ -527,10 +619,22 @@ latency, so growing the corpus amplifies the penalty instead of
 amortizing it. The corpus stays at 200k and the optimization target is
 per-round latency in the CC fixpoint (the measured non-scaling stage).
 
+The ann phase runs on a clustered 64-dim embedding corpus
+(synth.generate_embeddings: 64 xxhash-derived cluster bases + per-vector
+jitter — every value a pure function of (vec_id, dim), identical at any
+parallelism). The timed unit is the whole similarity pipeline: sample-
+trained 128-list k-means IVF build + literal map-only full-corpus
+assign + IVF nprobe=8 search + multiprobe sign-LSH (n_bits=10, n_flip=2)
+search, 100 queries, k=10. recall@10 against a pre-staged brute-force
+ground truth rides in every ledger row PER LEVEL — the values are
+deterministic, so cross-level equality doubles as a correctness check —
+with an nprobe=1 ablation showing the recall/probe tradeoff
+(~0.56 @ nprobe=1 vs ~1.0 @ nprobe=8 at calibration scale; LSH ~0.84).
+
 ### Every recorded run (efficiency per phase)
 
-| run | when (UTC) | build | ingest | assign | mosaic | compare | note |
-|---|---|---|---|---|---|---|---|
+| run | when (UTC) | build | ingest | assign | mosaic | compare | dedup | ann | note |
+|---|---|---|---|---|---|---|---|---|---|
 {chr(10).join(rows_md)}
 
 ### Medians + pooled best-per-level throughput
@@ -626,14 +730,17 @@ def main() -> None:
     # is its own JVM anyway, so a subset pairing is a valid ledger row
     # for exactly the phases it ran (regen's medians pool per phase)
     phases = tuple(sys.argv[6].split(",")) if len(sys.argv) > 6 else PHASES
+    n_vecs = int(sys.argv[7]) if len(sys.argv) > 7 else 1_000_000
     for ph in phases:
         assert ph in PHASES, ph
     stage_dir = "/dev/shm/bench_scaling" if os.path.isdir("/dev/shm") else "/tmp/bench_scaling"
     t0 = time.time()
     out = _run(
         _STAGER.format(repo=REPO, n_images=n_images, n_stops=n_stops, n_docs=n_docs,
-                       stage_dir=stage_dir, need_geo="assign" in phases,
-                       need_cmp="compare" in phases, need_docs="dedup" in phases),
+                       n_vecs=n_vecs, stage_dir=stage_dir,
+                       need_geo="assign" in phases,
+                       need_cmp="compare" in phases, need_docs="dedup" in phases,
+                       need_ann="ann" in phases),
         None,
     )
     if "STAGED" not in out:
@@ -670,6 +777,7 @@ def main() -> None:
         "n_images": n_images,
         "n_stops": n_stops,
         "n_docs": n_docs,
+        "n_vecs": n_vecs if "ann" in phases else None,
         "cpus": [lo, hi],
         "phases": list(phases),
         "low": r_lo,
