@@ -37,11 +37,19 @@ scans are bounded by LAYOUT, not post-scan filters:
   the stored fine cell (prune_state_to_stop_rings), and shrinks the
   foreign-id universe to (feed ∩ pruned-node ids).
 - FEED side (round 5): stops are static, so stamp the feed once with
-  stamp_feed_cells() and store it `partitionBy("cell_part")`; when the
-  gtfs frame carries cell_part, apply_update_batch filters the stop
-  scan to the changed nodes' coarse rings BEFORE the affected-stop
-  prejoin — the per-batch feed I/O drops from O(feed) to
-  O(k * ring). Pass n_feed (static per feed) so the fallback fraction
+  stamp_feed_cells() and store it `partitionBy("cell_part")` COMPACTED
+  — `repartition("cell_part")` before the write so each hive partition
+  is one file (standard small-files discipline; one file per input
+  split per cell otherwise). When the gtfs frame carries cell_part,
+  apply_update_batch filters the stop scan to the changed nodes'
+  coarse rings BEFORE the affected-stop prejoin — the per-batch feed
+  BYTES drop from O(feed) to O(ring cells covered): a spatially
+  clustered batch (the realistic edit pattern) touches O(1)
+  partitions (~9% of feed bytes measured at k=100); a worldwide
+  scatter of k ~ n_partitions nodes degenerates the filter to a full
+  scan through the layout's partition granularity, measured ~1.6x a
+  flat feed's compact scan — the worst case, bounded, and still well
+  under the full re-compare (BENCH/BASELINE.md delta section). Pass n_feed (static per feed) so the fallback fraction
   never re-counts the feed, and feed_ids (a cached single-column
   gtfs_id frame) so the known-id shrink scans memory, not parquet.
   The known-id universe itself is deliberately NEVER cell-pruned: a
@@ -63,6 +71,14 @@ rows — the stored column matters (recomputing cells over the state
 per batch was NET-NEGATIVE), and wide batches fall back to the plain
 full compare (full_recompare_frac): at k=10k (24% of stops affected)
 the delta machinery has no selectivity left and loses to the full run.
+
+Pruning only pays behind a LINEAGE BREAK: the delta intermediates are
+coalesce(defaultParallelism) + localCheckpoint'ed before the re-compare
+(see the inline comment in apply_update_batch) — without the break the
+compare's branches each re-execute the pruned pipeline (measured net
+SLOWER than the full re-compare), and without the coalesce the pruned
+scans' one-split-per-hive-partition shape taxes every compare stage
+with near-empty tasks.
 """
 
 from __future__ import annotations
@@ -217,7 +233,8 @@ def stamp_feed_cells(gtfs: DataFrame, fine_res: int | None = None) -> DataFrame:
     """Stamp the static feed once at ingest with its stored fine cell
     (hex_cell — skips the per-batch cell recompute in affected_stop_ids)
     and its coarse partition cell (cell_part). Write the result
-    `partitionBy("cell_part")` and hand the read-back frame to
+    `repartition("cell_part")` + `partitionBy("cell_part")` (compacted:
+    one file per hive partition) and hand the read-back frame to
     apply_update_batch: the per-batch stop scan then partition-prunes to
     the changed nodes' coarse rings instead of reading the whole feed
     (round-5 layout; the feed-side mirror of the node-log layout)."""
@@ -399,6 +416,30 @@ def apply_update_batch(
         known = gtfs
         n_recompared = n_feed if n_feed is not None else gtfs.count()
     else:
+        # LINEAGE BREAK (round 5): every delta-path intermediate below is
+        # O(k * ring) SMALL but sits on an expensive lineage (partition-
+        # pruned scans, Arrow ring UDFs, a distinct, a merge-on-read
+        # aggregation) — and compare_stops consumes its inputs from
+        # several branches (id match, adoption, conflict probe, member
+        # resolution), so without a break each branch re-executes the
+        # whole pruned pipeline. Measured at 4M stops / 4.3M nodes /
+        # 8 cores: the un-checkpointed k=100 delta ran 183 s — SLOWER
+        # than the 70 s full re-compare it exists to avoid — vs ~15 s
+        # checkpointed (BENCH/delta_sync.json). localCheckpoint
+        # materializes once on the executors (MEMORY_AND_DISK); replay
+        # safety is unaffected because both SnapTable appends stay
+        # idempotent per (run_id, batch id), so a lost executor just
+        # re-runs the micro-batch.
+        #
+        # Each break also COALESCES first: the partition-pruned scans
+        # surface one input split per surviving hive partition, so the
+        # checkpointed frames would otherwise carry O(ring-cells)
+        # near-empty partitions — and every one of compare's ~30 stages
+        # pays per-task scheduling plus a Python-UDF worker round-trip
+        # per partition. Measured at 1M stops / 8 cores: 87-partition
+        # sub -> 22 s compare; coalesce(8) -> 5.3 s, identical rows.
+        par = spark.sparkContext.defaultParallelism
+        changed = changed.coalesce(par).localCheckpoint()
         feed = gtfs
         if "cell_part" in gtfs.columns:
             # partitioned-feed layout: only partitions inside the changed
@@ -410,7 +451,11 @@ def apply_update_batch(
             feed_cells = coarse_partition_cells(changed, radius_m)
             feed = gtfs.filter(F.col("cell_part").isin(feed_cells))
         touched = affected_stop_ids(feed, changed, radius_m)
-        sub = feed.join(F.broadcast(touched), "gtfs_id", "left_semi")
+        sub = (
+            feed.join(F.broadcast(touched), "gtfs_id", "left_semi")
+            .coalesce(par)
+            .localCheckpoint()
+        )
         known = gtfs
         n_recompared = sub.count()
         if full_recompare_frac is not None:
@@ -422,7 +467,11 @@ def apply_update_batch(
             state = _pruned_node_state(spark, node_log, sub, radius_m)
             if state is None:
                 state = current_nodes(log_df)
-            state = prune_state_to_stop_rings(state, sub, radius_m)
+            state = (
+                prune_state_to_stop_rings(state, sub, radius_m)
+                .coalesce(par)
+                .localCheckpoint()
+            )
             # shrink the foreign-ness id universe to (feed ∩ pruned-node
             # ids): verdict-identical for every node still in state, and
             # it turns the probe's anti-join build side from O(feed)
@@ -442,9 +491,12 @@ def apply_update_batch(
             known = ids_base.select("gtfs_id").join(
                 F.broadcast(node_ids), "gtfs_id", "left_semi"
             )
-    if state is None:
-        state = current_nodes(log_df)
     if n_recompared and not result_done:
+        if state is None:
+            # bootstrap / wide-batch fallback: materialize the merged
+            # state once — compare's branches would otherwise each
+            # re-run the full merge-on-read aggregation over the log
+            state = current_nodes(log_df).localCheckpoint()
         fresh = compare_stops(
             sub,
             state,

@@ -56,9 +56,15 @@ spark = get_spark(shuffle_partitions=32,
 stops, nodes = synth.generate_compare_world(spark, n, spread_scale=scale,
                                             partitions=32)
 stamped = stamp_feed_cells(stops)
-# round-5 feed layout: hive-partitioned by the coarse cell
-(stamped.write.mode("overwrite").partitionBy("cell_part")
- .parquet({stage_dir!r} + "/stops_part"))
+# round-5 feed layout: hive-partitioned by the coarse cell, COMPACTED —
+# repartition("cell_part") first so each hive partition is ONE file
+# instead of one per input split per cell (32 x ~217 ~= 7k tiny
+# parquets otherwise). Standard hive-layout writer discipline, as the
+# sync docs prescribe; note the spread-k100 ~1.6x penalty vs the flat
+# feed persists compacted (it is scan granularity under degenerate
+# pruning, not file count).
+(stamped.repartition("cell_part").write.mode("overwrite")
+ .partitionBy("cell_part").parquet({stage_dir!r} + "/stops_part"))
 # round-4 feed layout: flat parquet, stored fine cell only
 stamped.drop("cell_part").write.mode("overwrite").parquet(
     {stage_dir!r} + "/stops_flat")
@@ -121,21 +127,40 @@ if {run_full}:
                               broadcast_stops=False))
     out["full_sec"] = timed(full, trials=2)
 else:
-    for k in {ks}:
-        # deterministic k-node sample: every (n_nodes//k)-th by numeric id
-        step = max(n_nodes // k, 1)
+    for label, k, clustered in {cases}:
         idnum = F.substring("osm_id", 2, 12).cast("long")
-        moved = (nodes.filter(idnum % step == 0)
-                 .withColumn("lat", F.col("lat") + F.lit(0.0009)))
+        if clustered:
+            # CLUSTERED batch — the realistic OSM edit pattern (one
+            # contributor, one city): the k moved nodes all live in the
+            # lowest-id coarse cell holding >= k nodes, so their rings
+            # cover O(1) partitions instead of O(k)
+            withcp = nodes.withColumn("cp", coarse("lat", "lon"))
+            cell = (withcp.groupBy("cp").count()
+                    .filter(F.col("count") >= k).orderBy("cp")
+                    .limit(1).collect()[0][0])
+            moved = (withcp.filter(F.col("cp") == cell).drop("cp")
+                     .orderBy("osm_id").limit(k)
+                     .withColumn("lat", F.col("lat") + F.lit(0.0009)))
+        else:
+            # SPREAD batch: every (n_nodes//k)-th by numeric id — ids
+            # hash to positions, so this is a uniform worldwide scatter
+            # (adversarial for partition pruning: k rings cover ~every
+            # coarse cell once k approaches the partition count)
+            step = max(n_nodes // k, 1)
+            moved = (nodes.filter(idnum % step == 0)
+                     .withColumn("lat", F.col("lat") + F.lit(0.0009)))
+        moved = moved.localCheckpoint()
         kept = nodes.join(moved.select("osm_id"), "osm_id", "left_anti")
         # the node LOG LAYOUT apply_update_batch prescribes: hex_cell
-        # stamped at append, parquet partitioned by the coarse cell —
-        # the compacted-base shape read_split hands back (tail empty
-        # here; a real tail is O(batch) and adds one small union)
-        state_path = stage + f"/state_k{{k}}"
+        # stamped at append, parquet partitioned by the coarse cell and
+        # COMPACTED to one file per partition — the compacted-base shape
+        # read_split hands back (tail empty here; a real tail is
+        # O(batch) and adds one small union)
+        state_path = stage + f"/state_{{label}}"
         (kept.unionByName(moved)
          .withColumn("hex_cell", hexc("lat", "lon"))
          .withColumn("cell_part", coarse("lat", "lon"))
+         .repartition("cell_part")
          .write.mode("overwrite").partitionBy("cell_part").parquet(state_path))
         out.setdefault("n_state_partitions", spark.read.parquet(state_path)
                        .select("cell_part").distinct().count())
@@ -164,38 +189,55 @@ else:
                 sub, st, agency_names=[synth.COMPARE_AGENCY],
                 id_digits=synth._CMP_DIGITS, known_ids=known))
 
+        # each variant coalesces + localCheckpoints sub and the state
+        # exactly where apply_update_batch does (round-5 lineage break):
+        # the O(k*ring) intermediates materialize ONCE, in O(cpus)
+        # partitions, instead of re-executing their pruned-scan +
+        # ring-UDF lineage from every compare branch across O(ring-cell)
+        # near-empty partitions — without the break the k=100 delta
+        # measured 183 s vs a 70 s full re-compare (the 2026-08-17
+        # 20:54 inversion), and without the coalesce the 87-partition
+        # sub still cost 22 s of per-stage task+worker overhead
         def delta_r5(changed=changed0, path=state_path):
             # apply_update_batch with a cell_part feed + n_feed + feed_ids:
             # the ONLY feed I/O is the partition-pruned scan
             feed = stops_part.filter(
                 F.col("cell_part").isin(coarse_partition_cells(changed)))
             touched = affected_stop_ids(feed, changed)
-            sub = feed.join(F.broadcast(touched), "gtfs_id", "left_semi")
+            sub = feed.join(F.broadcast(touched), "gtfs_id",
+                            "left_semi").coalesce(cpus).localCheckpoint()
             n_sub = sub.count()          # fallback numerator (vs n_feed)
-            st = pruned_state(sub, path)
+            st = pruned_state(sub, path).coalesce(cpus).localCheckpoint()
             return run_compare(sub, st, shrink_known(feed_ids, st))
 
         def delta_r4(changed=changed0, path=state_path):
             # round-4 formulation: stored hex_cell but FLAT feed — the
             # prejoin, the counts, and the known shrink each scan O(feed)
             touched = affected_stop_ids(stops_flat, changed)
-            sub = stops_flat.join(F.broadcast(touched), "gtfs_id", "left_semi")
+            sub = stops_flat.join(F.broadcast(touched), "gtfs_id",
+                                  "left_semi").coalesce(cpus).localCheckpoint()
             n_sub, nf = sub.count(), stops_flat.count()
-            st = pruned_state(sub, path)
+            st = pruned_state(sub, path).coalesce(cpus).localCheckpoint()
             return run_compare(sub, st, shrink_known(stops_flat, st))
 
         def delta_noprune(changed=changed0, path=state_path):
             touched = affected_stop_ids(stops_flat, changed)
-            sub = stops_flat.join(F.broadcast(touched), "gtfs_id", "left_semi")
-            st = spark.read.parquet(path)
+            sub = stops_flat.join(F.broadcast(touched), "gtfs_id",
+                                  "left_semi").coalesce(cpus).localCheckpoint()
+            # prune_node_cells=False reads and materializes the FULL
+            # merged state (apply_update_batch's None-state branch)
+            st = spark.read.parquet(path).localCheckpoint()
             return run_compare(sub, st, stops_flat)
 
         row = delta_r5()
-        # trials=2 per variant: 3 variants x 2 ks already totals ~24
-        # heavy compare runs; trials=3 blew the child's 2400 s budget
-        out[f"k{{k}}"] = {{
+        # trials=2 per variant: 3 variants x 3 cases already totals ~27
+        # heavy compare runs; trials=3 blew the child's budget
+        out[label] = {{
             "k_nodes": k_actual,
             "recompared_stops": row[1],
+            # ring coverage: coarse cells the batch touches, vs the
+            # n_state_partitions the layout has — the pruning ratio
+            "n_ring_cells": len(coarse_partition_cells(changed0)),
             "delta_r5_sec": timed(delta_r5, trials=2),
             "delta_r4_sec": timed(delta_r4, trials=2),
             "delta_noprune_sec": timed(delta_noprune, trials=2),
@@ -231,7 +273,8 @@ def _result(out: str) -> dict:
 def main() -> None:
     n_stops = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
     cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    ks = [100, 10_000]
+    cases = [("k100", 100, False), ("k100_clustered", 100, True),
+             ("k10000", 10_000, False)]
     stage = "/dev/shm/bench_delta" if os.path.isdir("/dev/shm") else "/tmp/bench_delta"
     t0 = time.time()
     out = _run(_STAGER.format(repo=REPO, n_stops=n_stops, stage_dir=stage), None)
@@ -239,9 +282,9 @@ def main() -> None:
         raise RuntimeError(f"staging failed:\n{out[-3000:]}")
     try:
         full = _result(_run(_CHILD.format(
-            repo=REPO, cpus=cpus, stage_dir=stage, run_full="True", ks=ks), cpus))
+            repo=REPO, cpus=cpus, stage_dir=stage, run_full="True", cases=cases), cpus))
         delta = _result(_run(_CHILD.format(
-            repo=REPO, cpus=cpus, stage_dir=stage, run_full="False", ks=ks), cpus,
+            repo=REPO, cpus=cpus, stage_dir=stage, run_full="False", cases=cases), cpus,
             timeout=5400))
     finally:
         import shutil

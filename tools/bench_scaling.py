@@ -468,37 +468,101 @@ def _delta_sync_section() -> str:
     def dsec(v):  # r5 key, falling back to the pre-r5 artifact's key
         return v.get("delta_r5_sec", v.get("delta_sec"))
 
+    labels = {"k100": "k=100 spread", "k100_clustered": "k=100 clustered",
+              "k10000": "k=10k spread"}
+
     rows = "\n".join(
-        f"| {v['k_nodes']:,} | {v['recompared_stops']:,} | {dsec(v)} | "
-        f"{v.get('delta_r4_sec', '—')} | {v['delta_noprune_sec']} | "
+        f"| {labels.get(name, name)} | {v['k_nodes']:,} | "
+        f"{v['recompared_stops']:,} | {v.get('n_ring_cells', '—')} | "
+        f"{dsec(v)} | {v.get('delta_r4_sec', '—')} | "
+        f"{v['delta_noprune_sec']} | "
         f"{round(d['full_sec'] / dsec(v), 1)}x |"
-        for v in ks.values()
+        for name, v in ks.items()
     )
-    return f"""## Incremental-sync delta path ({d['n_stops']:,}-stop world, {d['cpus']} cores, fresh JVM per phase, best-of-3)
+    kc = ks.get("k100_clustered")
+    npart = d.get("n_state_partitions") or 1
+    clustered_line = ""
+    if kc:
+        cov = min(kc["n_ring_cells"], npart)
+        clustered_line = (
+            f"A CLUSTERED k=100 batch (the realistic edit pattern: one "
+            f"contributor, one city — all moved nodes in one coarse cell) "
+            f"touches {cov} of {npart} feed partitions, so the r5 feed "
+            f"scan reads ~{round(100 * cov / npart)}% of the feed bytes "
+            f"per batch where the flat feed re-reads 100% three times — "
+            f"that BYTES ratio is the quantity that scales, and at this "
+            f"tmpfs-resident 4M-stop scale it is wall-NEUTRAL "
+            f"({dsec(kc)} s vs {kc.get('delta_r4_sec')} s flat: both "
+            f"fixed-cost-bound at ~{kc['recompared_stops']} re-compared "
+            f"stops), {round(kc['delta_noprune_sec'] / dsec(kc), 1)}x "
+            f"under the unpruned ablation and "
+            f"{round(d['full_sec'] / dsec(kc), 1)}x under the full "
+            f"re-compare.\n"
+        )
+    k1 = ks.get("k100", {})
+    return f"""## Incremental-sync delta path ({d['n_stops']:,}-stop world, {d['cpus']} cores, fresh JVM per phase, best-of-2)
 
 k nodes move ~100 m; the delta re-compare touches only stops within the
-400 m ring of a moved node's old/new position. The node log uses the
-layout apply_update_batch prescribes — hex_cell stamped per row at
-append, parquet partitioned by the COARSE_RES ({d.get('n_state_partitions', '?')}-partition)
-cell — so the delta scan partition-prunes to the affected rings
-(coarse_partition_cells), then semi-joins the stored fine cell
-(prune_state_to_stop_rings), with the foreign-id universe shrunk to
-(feed ∩ pruned-node ids). `no-prune` reads the full state (ablation).
-Full re-compare of the same world: **{d['full_sec']} s**.
+400 m ring of a moved node's old/new position. Feed and node log both
+use the layout apply_update_batch prescribes — hex_cell stamped per row
+at append, parquet partitioned by the COARSE_RES
+({npart}-partition) cell and COMPACTED to one
+file per partition — so the delta scan partition-prunes both sides to
+the affected rings (coarse_partition_cells), then semi-joins the stored
+fine cell (prune_state_to_stop_rings), with the foreign-id universe
+shrunk to (feed ∩ pruned-node ids). `r4-feed` is the same node-side
+pruning over a FLAT feed (the round-4 formulation: every batch pays
+full-feed scans for the prejoin, the counts, and the known-id shrink);
+`no-prune` reads the full node state (ablation). Full re-compare of the
+same world: **{d['full_sec']} s** (this window ran ~1.55x slower than
+the 2026-08-17 23:41 one — full was 59.3 s there; compare rows within
+one run only).
 
-| k nodes | re-compared stops | delta r5 (s) | delta r4-feed (s) | no-prune (s) | r5 speedup vs full |
-|---|---|---|---|---|---|
+| batch | k nodes | re-compared stops | ring cells | delta r5 (s) | r4-feed (s) | no-prune (s) | r5 vs full |
+|---|---|---|---|---|---|---|---|
 {rows}
 
-Findings: at k=100 the round-5 delta (feed partition-pruned to the
-changed nodes' coarse rings, n_feed/feed_ids precomputed, node base
-partition-pruned) runs {round(d['full_sec'] / dsec(d['k100']), 1)}x under
-the full re-compare; the r4-feed column is the same node-side pruning
-over a FLAT feed — its gap vs r5 is exactly the per-batch O(feed) stop
-scans the round-5 layout removes. At k=10k — {round(100 * d['k10000']['recompared_stops'] / d['n_stops'])}% of the feed
+Findings: pruning pays in proportion to ring coverage, and what it buys
+at this scale is BYTES, not wall.
+{clustered_line}A SPREAD k=100 batch (uniform worldwide scatter —
+adversarial) covers {k1.get('n_ring_cells', '?')} ring cells against
+{npart} partitions, so the partition filter degenerates to a full scan
+THROUGH the hive layout's file granularity, which costs ~1.6x the flat
+feed's compact scan ({dsec(k1)} s vs {k1.get('delta_r4_sec')} s) — the
+layout's measured worst case, still
+{round(d['full_sec'] / dsec(k1), 1)}x under the full re-compare. At
+k=10k — {round(100 * d['k10000']['recompared_stops'] / d['n_stops'])}% of the feed
 affected — the delta machinery has no selectivity left and LOSES to the
 full run, so apply_update_batch falls back to a plain full compare above
-`full_recompare_frac` (default 10%) of affected stops.
+`full_recompare_frac` (default 10%) of affected stops. The wall-clock
+case for the pruned feed opens where this tmpfs bench cannot follow: at
+10^8+ stops on remote storage the flat formulation's 3 x O(N) bytes per
+micro-batch is the dominant term and grows with the feed, while the
+pruned scan's bytes stay O(covered partitions); at 4M-in-RAM those O(N)
+scans cost ~2 s and fixed per-query costs dominate every variant. The
+operational disciplines are: cluster batches spatially where possible
+(OSM edits come that way), compact the layout, and let the fallback
+bound the wide tail.
+
+Two write-side disciplines this bench enforces (both prescribed by the
+sync docs): the hive layout is COMPACTED (repartition("cell_part")
+before partitionBy — one file per partition instead of one per input
+split per cell; standard small-files discipline, though A/B'ing it here
+was inconclusive: the spread-case ~1.6x penalty vs flat persists
+compacted, so the penalty is the partitioned layout's scan granularity
+when pruning degenerates, not file count), and pruning only runs behind
+a LINEAGE BREAK: compare_stops
+consumes its inputs from several branches, so an un-checkpointed delta
+re-executed the whole pruned pipeline (partition-pruned scans, Arrow
+ring UDFs, the merge-on-read aggregation) per branch and measured 183 s
+at k=100 — SLOWER than the full re-compare it exists to avoid. The
+checkpoint must also coalesce: partition-pruned scans surface one near-
+empty split per surviving hive partition, and an 87-partition 12k-row
+`sub` cost 22 s of per-stage task + Python-worker overhead inside
+compare vs 5.3 s after coalesce(cpus) (identical rows; profile at 1M
+stops). apply_update_batch therefore coalesce(defaultParallelism) +
+localCheckpoints `changed`, `sub`, and the pruned state — O(k·ring)
+frames, so the materialization is bounded by the batch, never the feed.
 Raw JSON: BENCH/delta_sync.json.
 
 """
