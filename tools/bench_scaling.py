@@ -271,7 +271,7 @@ if phase == "ann":
         return df.agg(F.sum(F.hash("q_id", "n_id", "rank_k")),
                       F.count("*")).collect()[0]
 
-    keep = {}
+    keep = dict()
 
     def ann_all(retain=False):
         train = corpus.filter(F.col("vec_id") % 20 == 0)
