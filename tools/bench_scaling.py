@@ -748,6 +748,13 @@ standalone JVM): struct median 0.993 s vs window 1.017 s — a local tie;
 struct is kept because its map-side partial agg shrinks pairs before the
 only shuffle, which wins at cluster scale.
 
+q08 normalized watch (VERDICT r4 item 5 — the one raw regression
+r3->r4, 1.620 -> 1.846 s): a round-5 clean re-run (2026-08-18,
+drift_index 0.972) measured q08 at 1.769 s raw / **1.82 normalized** vs
+r4's 2.19 normalized (-17%) on the identical plan — host drift, not a
+regression; watch closed. q11 normalized 2.098 (r4: 1.929, within the
+documented +-10% drift band).
+
 {_delta_sync_section()}## Reference comparison
 
 The reference (gtfs-osm-sync) computes an O(N*M) nested Vincenty loop on
