@@ -526,9 +526,11 @@ Findings: pruning pays in proportion to ring coverage, and what it buys
 at this scale is BYTES, not wall.
 {clustered_line}A SPREAD k=100 batch (uniform worldwide scatter —
 adversarial) covers {k1.get('n_ring_cells', '?')} ring cells against
-{npart} partitions, so the partition filter degenerates to a full scan
-THROUGH the hive layout's file granularity, which costs ~1.6x the flat
-feed's compact scan ({dsec(k1)} s vs {k1.get('delta_r4_sec')} s) — the
+{npart} partitions, so the partition filter prunes nothing and the scan pays
+the filter's literal-set evaluation plus hive-layout overhead — a
+same-JVM decomposition on an idle-core replica measured the bare
+partitioned scan at ~1.3x flat and +isin(all cells) at ~2.2x flat —
+in-bench ~1.6x the flat feed ({dsec(k1)} s vs {k1.get('delta_r4_sec')} s) — the
 layout's measured worst case, still
 {round(d['full_sec'] / dsec(k1), 1)}x under the full re-compare. At
 k=10k — {round(100 * d['k10000']['recompared_stops'] / d['n_stops'])}% of the feed
