@@ -2266,6 +2266,51 @@ def g13(spark, sf_dir):
 
 
 @register(
+    "g14_mosaic_pyramid",
+    """
+    SELECT CAST(res AS INT) AS res, CAST(n_tiles AS BIGINT) AS n_tiles,
+           CAST(children_sum AS BIGINT) AS children_sum,
+           CAST(images_sum AS BIGINT) AS images_sum,
+           CAST(max_w AS INT) AS max_w, CAST(px_sum AS BIGINT) AS px_sum
+    FROM (VALUES (7, 969, 1224, 2000, 96, 173144296),
+                 (8, 1224, 1773, 2000, 96, 259305588),
+                 (9, 1773, 2000, 2000, 96, 309072322))
+      AS t(res, n_tiles, children_sum, images_sum, max_w, px_sum)
+    ORDER BY res
+    """,
+)
+def g14(spark, sf_dir):
+    """Multi-resolution raster tile pyramid (operators/images.py
+    mosaic_pyramid): base res-9 mosaics roll up through aperture-7
+    center-containment parents (functions/cells.py hex_parent_np), each
+    level built from the PREVIOUS level's tiles — the raw image table is
+    read once, and per-level cost shrinks with the cell population. The
+    oracle pins per-res tile counts, child/image conservation sums
+    (images_sum == n at every level), max canvas width, and px_sum — the
+    codec-independent decoded-canvas byte sum — at the driver gate's
+    sf=0.01 scale (n=2000, same world as g04: 1773 base cells).
+    Block-mean thumb content and layout are pytest-verified
+    (tests/test_images_ops.py)."""
+    from . import synth
+    from .operators.images import mosaic_pyramid
+
+    n = min(_sf_n(sf_dir, per_unit=40_000), 20_000)
+    geo = synth.generate_images_geo(spark, n)
+    return (
+        mosaic_pyramid(geo, levels=3)
+        .groupBy("res")
+        .agg(
+            F.count("*").alias("n_tiles"),
+            F.sum("n_children").alias("children_sum"),
+            F.sum("n_images").alias("images_sum"),
+            F.max("tile_w").alias("max_w"),
+            F.sum("px_sum").alias("px_sum"),
+        )
+        .orderBy("res")
+    )
+
+
+@register(
     "g12_audio_wav_stats",
     """
     SELECT CAST(clipped AS BOOLEAN) AS clipped, CAST(n_clips AS BIGINT) AS n_clips,

@@ -306,6 +306,28 @@ def make_hex_cell_udf(res: int = 9):
     return hex_cell
 
 
+def hex_parent_np(cell_id) -> np.ndarray:
+    """Aperture-7 pyramid parent: the res-1 cell containing this cell's
+    CENTER (H3's parent relation is also center-containment, modulo its
+    rotation scheme). Deterministic, exactly one parent per cell, and a
+    uniform field yields ~7 children per parent (the aperture) — so
+    pyramid rollup groups are geometry-bounded. Vectorized for per-row
+    res (the axial math broadcasts over an array edge size)."""
+    res, _q, _r = hex_cell_unpack(cell_id)
+    lat, lon = hex_cell_center_latlon(cell_id)
+    pres = (res - np.int64(1)).astype(np.int64)
+    pq, pr = _hex_axial(lat, lon, pres)
+    return (pres << np.int64(58)) | ((pq + _HEX_OFF) << np.int64(29)) | (pr + _HEX_OFF)
+
+
+def make_hex_parent_udf():
+    @F.pandas_udf(T.LongType())
+    def hex_parent(cell: pd.Series) -> pd.Series:
+        return pd.Series(hex_parent_np(cell.to_numpy(np.int64)))
+
+    return hex_parent
+
+
 def make_hex_ring_udf(k: int = 1):
     """Pandas UDF: cell id -> array of all cell ids within hex distance k
     (the filled k-ring / grid_disk, (k+1)*3*k + 1 cells). Explode after."""

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.codecs import decode_image, png_encode, psnr
+from ..functions.codecs import decode_image, png_decode, png_encode, psnr
 from ..synth import pixels_for
 
 
@@ -167,3 +167,134 @@ def mosaic_by_cell(
         .drop("_rn")
     )
     return ranked.groupBy("hex_cell").applyInPandas(fn, MOSAIC_SCHEMA)
+
+
+PYRAMID_SCHEMA = T.StructType(
+    [
+        T.StructField("hex_cell", T.LongType()),
+        T.StructField("n_children", T.IntegerType()),
+        T.StructField("n_images", T.LongType()),
+        T.StructField("grid", T.IntegerType()),
+        T.StructField("tile_w", T.IntegerType()),
+        T.StructField("tile_h", T.IntegerType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("mosaic_png", T.BinaryType()),
+    ]
+)
+
+
+def assemble_pyramid_pdf(
+    pdf: pd.DataFrame, thumb_px: int = 32, max_children: int = 64
+) -> pd.DataFrame:
+    """One parent tile from its child tiles: each child mosaic (a
+    grid*thumb_px square) block-mean downsamples EXACTLY by its own grid
+    factor to one thumb_px thumbnail, pasted in child-cell-id order on a
+    ceil(sqrt(n)) grid — the same deterministic layout as the base
+    mosaics. px_sum (sum of canvas bytes) rides along as the
+    codec-independent content fingerprint."""
+    pdf = pdf.sort_values("hex_cell")
+    n_total = len(pdf)
+    pdf = pdf.head(max_children)
+    n = len(pdf)
+    grid = max(int(math.ceil(math.sqrt(n))), 1)
+    canvas = np.zeros((grid * thumb_px, grid * thumb_px, 3), dtype=np.uint8)
+    for i, png in enumerate(pdf["mosaic_png"]):
+        img = png_decode(png)
+        f = img.shape[0] // thumb_px
+        if f >= 1 and img.shape == (f * thumb_px, f * thumb_px, 3):
+            thumb = (
+                img.astype(np.float64)
+                .reshape(thumb_px, f, thumb_px, f, 3)
+                .mean(axis=(1, 3))
+                .astype(np.uint8)
+            )
+        else:  # non-square / sub-thumb tile: paste-crop (defensive; the
+            # pyramid's own tiles are always square multiples of thumb_px)
+            thumb = np.zeros((thumb_px, thumb_px, 3), dtype=np.uint8)
+            hh, ww = min(img.shape[0], thumb_px), min(img.shape[1], thumb_px)
+            thumb[:hh, :ww] = img[:hh, :ww]
+        rr, cc = divmod(i, grid)
+        canvas[
+            rr * thumb_px : (rr + 1) * thumb_px, cc * thumb_px : (cc + 1) * thumb_px
+        ] = thumb
+    return pd.DataFrame(
+        [
+            (
+                int(pdf["parent_cell"].iloc[0]),
+                n_total,
+                int(pdf["n_images"].sum()),
+                grid,
+                canvas.shape[1],
+                canvas.shape[0],
+                int(canvas.astype(np.int64).sum()),
+                png_encode(canvas),
+            )
+        ],
+        columns=[f.name for f in PYRAMID_SCHEMA],
+    )
+
+
+def mosaic_pyramid(
+    images_geo: DataFrame,
+    levels: int = 3,
+    cell_px: int = 32,
+    max_images_per_cell: int = 256,
+    max_children: int = 64,
+) -> DataFrame:
+    """Multi-resolution tile pyramid over the image table (the raster
+    side of the tiling engine; extends A10 the way slippy-map/tile-server
+    pyramids extend a single zoom level — no reference analog, the GUI
+    renders one level only).
+
+    Scale shape: the raw image table is read EXACTLY ONCE (the base
+    mosaic_by_cell build). Every coarser level L+1 is built from level
+    L's TILES: one shuffle on the aperture-7 parent cell over a frame
+    that SHRINKS ~7x per step, so total pyramid cost beyond the base is
+    a geometric series in the base tile count — never a second pass over
+    the corpus. Group sizes are geometry-bounded (center-containment
+    parents take ~7, observed max 8, children; max_children is a
+    defensive cap), so applyInPandas memory is O(grid^2 * cell_px^2)
+    per task regardless of corpus size, mirroring the skew guard notes
+    on mosaic_by_cell.
+    """
+    from ..functions.cells import make_hex_parent_udf
+    from ..functions.codecs import png_decode as _dec
+
+    base = mosaic_by_cell(images_geo, cell_px, max_images_per_cell)
+
+    @F.pandas_udf(T.LongType())
+    def px_sum_udf(png: pd.Series) -> pd.Series:
+        return pd.Series([int(_dec(b).astype(np.int64).sum()) for b in png])
+
+    cur = base.select(
+        "hex_cell",
+        F.col("n_images").alias("n_children"),
+        (F.col("n_images") + F.col("n_dropped")).cast("long").alias("n_images"),
+        "grid",
+        "tile_w",
+        "tile_h",
+        px_sum_udf("mosaic_png").alias("px_sum"),
+        "mosaic_png",
+    )
+
+    parent = make_hex_parent_udf()
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return assemble_pyramid_pdf(pdf, cell_px, max_children)
+
+    frames = [cur]
+    for _ in range(max(levels, 1) - 1):
+        frames.append(
+            frames[-1]
+            .withColumn("parent_cell", parent("hex_cell"))
+            .groupBy("parent_cell")
+            .applyInPandas(fn, PYRAMID_SCHEMA)
+        )
+    cols = [f.name for f in PYRAMID_SCHEMA]
+    out = None
+    for fr in frames:
+        lvl = fr.select(
+            F.shiftright("hex_cell", 58).cast("int").alias("res"), *cols
+        )
+        out = lvl if out is None else out.unionByName(lvl)
+    return out

@@ -83,3 +83,43 @@ def test_caption_and_pixel_equality_through_pipeline(spark):
             got = decode_image(out["bytes"].iloc[i], out["fmt"].iloc[i])
             exp = decode_image(ref["bytes"].iloc[i], ref["fmt"].iloc[i])
             assert np.allclose(got, exp)
+
+
+def test_mosaic_pyramid_conservation_and_pixels(spark):
+    """Pyramid rollup: every level conserves the image count, res
+    decrements per level, parenthood is center-containment, and a parent
+    tile's pixel blocks are the exact block-means of its children's
+    mosaics (re-derived here with raw numpy, not assemble_pyramid_pdf)."""
+    from gtfs_osm_sync_spark.functions.cells import hex_parent_np
+
+    images = synth.generate_images(spark, 900, partitions=5)
+    geo = geotag_images(images)
+    pyr = IMG.mosaic_pyramid(geo, levels=3).toPandas()
+    assert sorted(pyr["res"].unique()) == [7, 8, 9]
+    for res in (7, 8, 9):
+        lvl = pyr[pyr["res"] == res]
+        assert int(lvl["n_images"].sum()) == 900
+        assert (lvl["px_sum"] > 0).all()
+    base = pyr[pyr["res"] == 9]
+    mid = pyr[pyr["res"] == 8].set_index("hex_cell")
+    # child count conservation: res-8 children_sum == res-9 tile count
+    assert int(pyr[pyr["res"] == 8]["n_children"].sum()) == len(base)
+
+    # pick a res-8 parent with >= 2 children and re-derive its canvas
+    parents = hex_parent_np(base["hex_cell"].to_numpy())
+    base = base.assign(parent=parents)
+    counts = base.groupby("parent").size()
+    target = int(counts[counts >= 2].index[0])
+    kids = base[base["parent"] == target].sort_values("hex_cell")
+    got = png_decode(mid.loc[target, "mosaic_png"])
+    thumb_px = 32
+    grid = int(math.ceil(math.sqrt(len(kids))))
+    for i, (_, kid) in enumerate(kids.iterrows()):
+        img = png_decode(kid["mosaic_png"]).astype(np.float64)
+        f = img.shape[0] // thumb_px
+        expect = img.reshape(thumb_px, f, thumb_px, f, 3).mean(axis=(1, 3)).astype(np.uint8)
+        rr, cc = divmod(i, grid)
+        block = got[rr * thumb_px : (rr + 1) * thumb_px, cc * thumb_px : (cc + 1) * thumb_px]
+        assert (block == expect).all()
+    # px_sum is the decoded-canvas byte sum (codec-independent fingerprint)
+    assert int(mid.loc[target, "px_sum"]) == int(got.astype(np.int64).sum())
