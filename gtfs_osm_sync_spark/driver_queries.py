@@ -2404,6 +2404,68 @@ def g11(spark, sf_dir):
 
 
 @register(
+    "g15_image_curation",
+    """
+    SELECT CAST(shard AS INT) AS shard, CAST(n_images AS BIGINT) AS n_images,
+           CAST(id_sum AS BIGINT) AS id_sum, CAST(phash_xor AS BIGINT) AS phash_xor,
+           CAST(dup_sum AS BIGINT) AS dup_sum, CAST(bright_sum AS BIGINT) AS bright_sum
+    FROM (VALUES
+      (0, 112, 115696, 8612412025916977581, 8, 14364768375),
+      (1, 116, 117031, 3816210045208386387, 13, 14859123429),
+      (2, 131, 137275, -128579386929107992, 16, 16851943839),
+      (3, 114, 103428, 1978211674574507299, 14, 14549052161),
+      (4, 128, 127337, 207529182242915750, 11, 16386239778),
+      (5, 120, 125399, 691975432454488345, 11, 15420600010),
+      (6, 114, 113617, 4656021945824964694, 11, 14608133688),
+      (7, 118, 110510, 4320000736980841873, 14, 15086383456),
+      (8, 121, 119212, -8428474618560843462, 13, 15480917223),
+      (9, 144, 149072, 7858231911290764753, 18, 18493437915),
+      (10, 127, 124810, -8245094714656389129, 12, 16274746985),
+      (11, 110, 123506, 1122868718630419705, 4, 14075222980),
+      (12, 119, 117518, -6860085147988041431, 9, 15215122413),
+      (13, 152, 149520, 7371563786793859805, 18, 19461894909),
+      (14, 137, 127613, -113233547782934256, 12, 17509805636),
+      (15, 137, 137456, -8654630407069405998, 15, 17597864697)
+    ) AS t(shard, n_images, id_sum, phash_xor, dup_sum, bright_sum)
+    ORDER BY shard
+    """,
+)
+def g15(spark, sf_dir):
+    """The composed image-curation pipeline end to end (the image-axis
+    sibling of d14): pixel-level near-dup plants
+    (synth.generate_images_with_dups: every 10th image re-appears
+    brightness-shifted +4 and re-encoded — only a real perceptual hash
+    of the DECODED pixels can pair it with its original) ->
+    curate_images (operators/images.py): ONE decode pass computing luma
+    stats + real 32x32-DCT phash64, quality gates (brightness window,
+    contrast, caption tokens), pigeonhole-banded Hamming<=3 pairing
+    (the d12 engine), large-star/small-star components, canonical
+    min-id survivor with n_dups, xxhash64 shard assign. Digested to
+    per-shard ALL-INTEGER checksums (counts, numeric-id sums, bit_xor
+    of the computed phash64 — sensitive to every bit of the DCT path —
+    dup counts, and round(brightness*1e6) sums), pinned as a literal
+    oracle at the driver gate's sf=0.01 scale (g01 convention). Hash
+    properties (plants Hamming<=2, unrelated ~32) and stage semantics
+    are pytest-verified in tests/test_image_curation.py."""
+    from . import synth
+    from .operators.images import curate_images
+
+    n = _sf_n(sf_dir, per_unit=200_000, lo=2_000)
+    cur = curate_images(synth.generate_images_with_dups(spark, n))
+    return (
+        cur.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum(F.substring("image_id", 4, 12).cast("long")).alias("id_sum"),
+            F.bit_xor("phash64").alias("phash_xor"),
+            F.sum("n_dups").cast("long").alias("dup_sum"),
+            F.sum(F.round(F.col("brightness") * 1e6).cast("long")).alias("bright_sum"),
+        )
+        .orderBy("shard")
+    )
+
+
+@register(
     "d11_dup_components",
     f"""
     WITH RECURSIVE {_DOCS_AUG_SQL},

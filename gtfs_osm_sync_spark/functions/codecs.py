@@ -147,3 +147,101 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     if mse == 0:
         return float("inf")
     return 10.0 * np.log10(255.0**2 / mse)
+
+
+# ---------------------------------------------------------------------------
+# resize + perceptual hash (pure numpy; the Spark-side batch plumbing is in
+# operators/images.py)
+# ---------------------------------------------------------------------------
+
+_LUMA = np.array([0.299, 0.587, 0.114])  # ITU-R BT.601
+
+
+def luma(img: np.ndarray) -> np.ndarray:
+    """uint8 (h, w, 3) -> float64 (h, w) luminance."""
+    return img.astype(np.float64) @ _LUMA
+
+
+def _bilinear_coords(n_in: int, n_out: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Half-pixel-center sample positions (the OpenCV/PIL convention:
+    src = (dst + 0.5) * in/out - 0.5), split into floor index + fraction."""
+    src = (np.arange(n_out, dtype=np.float64) + 0.5) * (n_in / n_out) - 0.5
+    src = np.clip(src, 0.0, n_in - 1.0)
+    i0 = np.floor(src).astype(np.int64)
+    i0 = np.minimum(i0, n_in - 2) if n_in > 1 else i0
+    frac = src - i0
+    return i0, i0 + (1 if n_in > 1 else 0), frac
+
+
+def bilinear_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Bilinear resize, vectorized. Accepts float64/uint8, 2-D (gray) or
+    3-D (h, w, c); returns the same rank with float64 values (callers
+    round/cast for storage — keeping floats avoids double-rounding when
+    a resize feeds the DCT)."""
+    a = img.astype(np.float64)
+    two_d = a.ndim == 2
+    if two_d:
+        a = a[:, :, None]
+    h, w = a.shape[:2]
+    y0, y1, fy = _bilinear_coords(h, out_h)
+    x0, x1, fx = _bilinear_coords(w, out_w)
+    fy = fy[:, None, None]
+    fx = fx[None, :, None]
+    top = a[y0][:, x0] * (1 - fx) + a[y0][:, x1] * fx
+    bot = a[y1][:, x0] * (1 - fx) + a[y1][:, x1] * fx
+    out = top * (1 - fy) + bot * fy
+    return out[:, :, 0] if two_d else out
+
+
+def resize_uint8(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """uint8 (h, w, 3) -> uint8 (out_h, out_w, 3) bilinear thumbnail."""
+    return np.clip(np.rint(bilinear_resize(img, out_h, out_w)), 0, 255).astype(
+        np.uint8
+    )
+
+
+_PHASH_N = 32  # resample size fed to the DCT
+_PHASH_LOW = 8  # low-frequency block kept (8x8 -> 64-bit hash)
+_DCT_CACHE: dict[int, np.ndarray] = {}
+
+
+def dct_matrix(n: int = _PHASH_N) -> np.ndarray:
+    """Orthonormal DCT-II matrix: D[k, i] = s_k cos(pi (2i+1) k / 2n)."""
+    m = _DCT_CACHE.get(n)
+    if m is None:
+        k = np.arange(n)[:, None]
+        i = np.arange(n)[None, :]
+        m = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * i + 1) * k / (2 * n))
+        m[0] *= 1.0 / np.sqrt(2.0)
+        _DCT_CACHE[n] = m
+    return m
+
+
+_BIT_WEIGHTS = (np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64))
+
+
+def dct_phash_batch(grays: np.ndarray) -> np.ndarray:
+    """Stacked float64 (b, 32, 32) luma planes -> int64 (b,) perceptual
+    hashes. Classic pHash recipe: 2-D DCT, keep the 8x8 low-frequency
+    block, threshold each coefficient against the MEDIAN of the block's
+    63 AC coefficients (DC excluded from the median so global brightness
+    cannot drag it; the DC bit itself still thresholds like the rest).
+    One einsum per Arrow batch — no per-image Python in the transform."""
+    d = dct_matrix(_PHASH_N)
+    coef = np.einsum("ij,bjk,lk->bil", d, grays, d, optimize=True)
+    block = coef[:, :_PHASH_LOW, :_PHASH_LOW].reshape(len(grays), 64)
+    med = np.median(block[:, 1:], axis=1, keepdims=True)
+    bits = block > med
+    return (bits @ _BIT_WEIGHTS).view(np.int64)
+
+
+def dct_phash(img: np.ndarray) -> int:
+    """uint8 (h, w, 3) RGB image -> 64-bit perceptual hash (int).
+
+    Brightness shifts leave the hash untouched (they move only the DC
+    coefficient and the median is AC-only); small pixel noise (e.g. a
+    lossy re-encode) flips at most the few bits whose coefficients sit
+    near the median — near-dup detection then bands on Hamming distance
+    (operators/dedup.py simhash_pairs is signature-agnostic)."""
+    g = bilinear_resize(luma(img), _PHASH_N, _PHASH_N)
+    return int(dct_phash_batch(g[None, :, :])[0])

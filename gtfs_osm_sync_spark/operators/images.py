@@ -27,7 +27,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.codecs import decode_image, png_decode, png_encode, psnr
+from ..functions.codecs import (
+    bilinear_resize,
+    dct_phash_batch,
+    decode_image,
+    encode_image,
+    luma,
+    png_decode,
+    png_encode,
+    psnr,
+    resize_uint8,
+)
 from ..synth import pixels_for
 
 
@@ -167,6 +177,178 @@ def mosaic_by_cell(
         .drop("_rn")
     )
     return ranked.groupBy("hex_cell").applyInPandas(fn, MOSAIC_SCHEMA)
+
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("caption", T.StringType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("brightness", T.DoubleType()),
+        T.StructField("contrast", T.DoubleType()),
+        T.StructField("phash64", T.LongType()),
+    ]
+)
+
+
+def image_features(images: DataFrame) -> DataFrame:
+    """ONE decode pass per image -> luma stats + a REAL 64-bit DCT
+    perceptual hash (functions/codecs.py dct_phash_batch — resize to
+    32x32, 2-D DCT, AC-median threshold). Unlike the table's stored
+    `phash` column (an ingest-time fingerprint), phash64 is computed
+    FROM THE PIXELS, so re-encoded / brightness-shifted copies of the
+    same picture land within Hamming <=2 of each other while unrelated
+    images sit near 32 (measured; pinned in tests/test_image_curation.py).
+
+    Batch shape: the decode loop is per-image (payload sizes vary) but
+    the resized luma planes are STACKED and hashed with one einsum per
+    Arrow batch; nothing row-at-a-time crosses the Python<->JVM boundary.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            grays = np.empty((n, 32, 32), dtype=np.float64)
+            bright = np.empty(n)
+            contrast = np.empty(n)
+            hh = np.empty(n, dtype=np.int32)
+            ww = np.empty(n, dtype=np.int32)
+            for i, (data, fmt) in enumerate(zip(pdf["bytes"], pdf["fmt"])):
+                img = decode_image(data, fmt)
+                g = luma(img)
+                bright[i] = g.mean()
+                contrast[i] = g.std()
+                hh[i], ww[i] = img.shape[:2]
+                grays[i] = bilinear_resize(g, 32, 32)
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "caption": pdf["caption"],
+                    "h": hh,
+                    "w": ww,
+                    "brightness": np.round(bright, 6),
+                    "contrast": np.round(contrast, 6),
+                    "phash64": dct_phash_batch(grays) if n else np.array([], dtype=np.int64),
+                }
+            )
+
+    return images.select("image_id", "caption", "bytes", "fmt").mapInPandas(
+        run, FEATURES_SCHEMA
+    )
+
+
+THUMB_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("fmt", T.StringType()),
+    ]
+)
+
+
+def resize_images(images: DataFrame, out_h: int, out_w: int, fmt_out: str = "png") -> DataFrame:
+    """Decode -> bilinear resize (half-pixel-center sampling) -> re-encode.
+    The thumbnail stage every multimodal training pipeline runs before
+    batching; map-only, payload crosses Arrow once each way."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = [
+                encode_image(resize_uint8(decode_image(data, fmt), out_h, out_w), fmt_out)
+                for data, fmt in zip(pdf["bytes"], pdf["fmt"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "h": np.full(len(pdf), out_h, dtype=np.int32),
+                    "w": np.full(len(pdf), out_w, dtype=np.int32),
+                    "bytes": blobs,
+                    "fmt": fmt_out,
+                }
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(run, THUMB_SCHEMA)
+
+
+def curate_images(
+    images: DataFrame,
+    n_shards: int = 16,
+    bright_lo: float = 112.0,
+    bright_hi: float = 143.0,
+    min_contrast: float = 8.0,
+    min_caption_tokens: int = 3,
+    max_hamming: int = 3,
+    band_bits: int = 16,
+    features: DataFrame | None = None,
+) -> DataFrame:
+    """The composed image-curation pipeline a 100 TB training-data build
+    runs end to end (the image-axis sibling of d14's document pipeline):
+
+      1. image_features — ONE decode pass: luma stats + real DCT phash64.
+      2. quality gate — brightness window (over/under-exposure cut),
+         minimum contrast, minimum caption token count. Plain codegen
+         filters; nothing re-decodes.
+      3. near-dup dedup — pigeonhole banding on phash64 (simhash_pairs,
+         the d12 engine: per-band hash joins + exact popcount verify,
+         max_bucket skew cap) -> connected components (large-star/
+         small-star, O(log^2 n) rounds) -> keep each component's MIN
+         image_id; survivors carry n_dups (members dropped behind them).
+      4. shard assign — pmod(xxhash64(image_id), n_shards): deterministic,
+         uniform, co-partitionable by any later writer.
+
+    Every stage is bucketed/capped (no all-pairs surface); the payload
+    column is touched exactly once (stage 1). The gated feature frame
+    feeds TWO consumers (pair building and the survivor join), so it is
+    persisted here (MEMORY_AND_DISK; payload-free rows — the bytes
+    column never outlives stage 1) to keep the decode pass single-run;
+    at cluster scale pass `features=` (a stored image_features table)
+    and the pipeline becomes pure joins over that table. Returns
+    curated rows: (image_id, caption, h, w, brightness, contrast,
+    phash64, n_dups, shard).
+    """
+    from pyspark import StorageLevel
+
+    from .dedup import connected_components, simhash_pairs
+
+    feats = features if features is not None else image_features(images)
+    ok = feats.filter(
+        F.col("brightness").between(bright_lo, bright_hi)
+        & (F.col("contrast") >= min_contrast)
+        & (F.size(F.split(F.col("caption"), r"\s+")) >= min_caption_tokens)
+    )
+    if features is None:
+        ok = ok.persist(StorageLevel.MEMORY_AND_DISK)
+    # banding candidate volume is O(n_bands * n^2 / 2^band_bits); the
+    # default 4x16 partitions the 64-bit hash exactly (pigeonhole
+    # completeness for Hamming<=3 — ~8 rows/bucket at 500k images). At
+    # larger corpora trade recall guarantee for volume via (n_bands,
+    # band_bits) pairs that still tile 64 bits (e.g. 3x21 for
+    # Hamming<=2), and rely on max_bucket inside simhash_pairs to cap
+    # the degenerate tail.
+    pairs = simhash_pairs(
+        ok.select("image_id", "phash64"),
+        max_hamming=max_hamming,
+        id_col="image_id",
+        sig_col="phash64",
+        n_bands=4,
+        band_bits=band_bits,
+    )
+    comp = connected_components(pairs, id_a="id_a", id_b="id_b")
+    sizes = comp.groupBy("component").agg(F.count("*").alias("_n_members"))
+    # survivors: component minimum (component == own id) or untouched by
+    # any pair; n_dups = members dropped behind the canonical row
+    out = (
+        ok.join(comp.withColumnRenamed("doc_id", "image_id"), "image_id", "left")
+        .filter(F.col("component").isNull() | (F.col("component") == F.col("image_id")))
+        .join(sizes, "component", "left")
+        .withColumn("n_dups", F.coalesce(F.col("_n_members") - 1, F.lit(0)).cast("int"))
+        .withColumn("shard", F.pmod(F.xxhash64("image_id"), F.lit(n_shards)).cast("int"))
+        .drop("component", "_n_members")
+    )
+    return out
 
 
 PYRAMID_SCHEMA = T.StructType(

@@ -197,6 +197,47 @@ def generate_images(
     return spark.range(start, n, 1, parts).mapInPandas(gen, IMAGES_SCHEMA)
 
 
+def generate_images_with_dups(
+    spark: SparkSession,
+    n: int,
+    every: int = 10,
+    delta: int = 4,
+    partitions: int | None = None,
+) -> DataFrame:
+    """The images table plus PIXEL-LEVEL near-duplicate plants: every
+    `every`-th image gains a copy (image_id 'dup%012d') whose pixels are
+    brightness-shifted by `delta` (clipped) and re-encoded in the same
+    format — a real mutated payload, NOT a metadata tweak, so only an
+    operator that actually decodes and perceptually hashes the pixels
+    (operators/images.py image_features) can pair it with its original.
+    Caption and stored ingest fingerprint are copied (how a crawler
+    re-encounter of the same picture looks). Deterministic per (n,
+    every, delta) under any partitioning."""
+    from .functions.codecs import decode_image
+
+    base = generate_images(spark, n, partitions)
+
+    def mutate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            nums = pdf["image_id"].str.slice(3).astype(np.int64)
+            sub = pdf[(nums % every == 0).to_numpy()]
+            blobs = [
+                encode_image(
+                    np.clip(
+                        decode_image(data, fmt).astype(np.int16) + delta, 0, 255
+                    ).astype(np.uint8),
+                    str(fmt),
+                )
+                for data, fmt in zip(sub["bytes"], sub["fmt"])
+            ]
+            out = sub.copy()
+            out["image_id"] = "dup" + sub["image_id"].str.slice(3)
+            out["bytes"] = blobs
+            yield out
+
+    return base.unionByName(base.mapInPandas(mutate, IMAGES_SCHEMA))
+
+
 IMAGES_GEO_SCHEMA = T.StructType(
     IMAGES_SCHEMA.fields
     + [

@@ -65,7 +65,7 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LEDGER = os.path.join(REPO, "BENCH", "runs.jsonl")
-PHASES = ("ingest", "assign", "mosaic", "compare", "dedup", "ann")
+PHASES = ("ingest", "assign", "mosaic", "compare", "dedup", "ann", "curate")
 
 # Physical-plan generation per phase, recorded into each ledger row and
 # bumped whenever the measured plan changes (a median across different
@@ -80,6 +80,9 @@ PLAN_TAGS = {
     "ann": "norm-precompute-ivf128",  # per-side norm precompute in every
     #   pair scorer (one array fold per pair, not three) + 128-list IVF
     #   trained on a 5% sample, literal map-only full-corpus assign
+    "curate": "one-pass-feats-banded-cc",  # single decode pass (einsum-
+    #   batched DCT phash) persisted, pigeonhole banding on the computed
+    #   hash, symfree-CC, survivor join + shard assign
 }
 # build-hash prefix -> {phase: tag} for pre-tagging ledger rows; anything
 # not listed ran the legacy plan for every phase (tag None = excluded
@@ -110,6 +113,7 @@ cpus = {cpus}
 n = {n_images}
 n_stops = {n_stops}
 n_docs = {n_docs}
+n_cur = {n_cur}
 phase = {phase!r}
 scale = math.sqrt(max(n / 500_000, 1.0))
 stage = {stage_dir!r}
@@ -250,6 +254,40 @@ if phase == "dedup":
     out.update(dedup_n=n_docs, dedup_members=members, dedup_sec=round(t_dd, 2),
                dedup_docs_per_sec=round(n_docs / t_dd, 1))
 
+if phase == "curate":
+    # the g15 composition end to end (the image-axis training-data
+    # curation formulation): ONE decode pass (luma stats + real 32x32
+    # DCT phash64, einsum-batched) persisted, codegen quality gates,
+    # pigeonhole banding on the COMPUTED hash, log-round CC, survivor
+    # join, xxhash64 shard assign. Decode+hash is map-side python
+    # (Arrow-batched) — the corpus-bound stage that must scale; CC's
+    # fixpoint collects are the fixed cost, as in dedup.
+    from gtfs_osm_sync_spark.operators.images import curate_images
+    cimg = spark.read.parquet(stage + "/cimg")
+
+    def run_cur(src):
+        cur = curate_images(src)
+        row = cur.agg(F.sum(F.hash("image_id", "phash64", "shard")),
+                      F.count("*")).collect()[0]
+        # drop the pipeline's internal features persist between trials
+        spark.catalog.clearCache()
+        return row
+
+    # warm-up on the FULL corpus (dedup-phase rationale: python workers,
+    # Arrow paths, and join/CC JIT must be hot at BOTH levels or short
+    # high-core runs measure semi-warm)
+    run_cur(cimg)
+    t_cu = float("inf")
+    survivors = 0
+    for _ in range(2):
+        t6 = time.time()
+        row = run_cur(cimg)
+        survivors = row[1]
+        t_cu = min(t_cu, time.time() - t6)
+    out.update(curate_n=n_cur, curate_survivors=survivors,
+               curate_sec=round(t_cu, 2),
+               curate_images_per_sec=round(n_cur / t_cu, 1))
+
 if phase == "ann":
     # similarity-search pipeline end to end: IVF index BUILD (k-means on
     # a 5% sample -> literal map-only assign of the full corpus) + IVF
@@ -347,6 +385,11 @@ if {need_cmp}:
 if {need_docs}:
     (synth.generate_documents(spark, {n_docs}, partitions=64)
      .write.mode("overwrite").parquet({stage_dir!r} + "/docs"))
+if {need_curate}:
+    # dup-planted image corpus for the curation phase; n_cur is the
+    # BASE count (total rows staged = n_cur * 1.1)
+    (synth.generate_images_with_dups(spark, {n_cur}, partitions=64)
+     .write.mode("overwrite").parquet({stage_dir!r} + "/cimg"))
 if {need_ann}:
     nv = {n_vecs}
     vecs = synth.generate_embeddings(spark, nv, partitions=64)
@@ -399,14 +442,14 @@ def _run(code: str, cpus: int | None, timeout: int = 2400) -> str:
 
 
 def run_level(cpus: int, n_images: int, n_stops: int, n_docs: int, stage_dir: str,
-              phases: tuple = PHASES) -> dict:
+              phases: tuple = PHASES, n_cur: int = 100_000) -> dict:
     """Run the phases, each in its own JVM, and merge the results."""
     merged: dict = {}
     probe = _host_probe()
     for phase in phases:
         out = _run(
             _CHILD.format(repo=REPO, cpus=cpus, n_images=n_images, n_stops=n_stops,
-                          n_docs=n_docs, stage_dir=stage_dir, phase=phase),
+                          n_docs=n_docs, n_cur=n_cur, stage_dir=stage_dir, phase=phase),
             cpus,
         )
         probe_after = _host_probe()
@@ -432,6 +475,7 @@ _TP_KEY = {
     "compare": "compare_stops_per_sec",
     "dedup": "dedup_docs_per_sec",
     "ann": "ann_vecs_per_sec",
+    "curate": "curate_images_per_sec",
 }
 _PHASE_DESC = {
     "ingest": "synth + fused geotag + parquet write",
@@ -440,6 +484,7 @@ _PHASE_DESC = {
     "compare": "stop-vs-node categorize + tag merge (reference core task, shuffle path)",
     "dedup": "MinHash -> LSH -> Jaccard verify -> CC (d14 composition)",
     "ann": "IVF index build (sample k-means + literal assign) + IVF/LSH search",
+    "curate": "image curation: decode+DCT-phash -> gates -> banded dedup -> CC -> shard (g15 composition)",
 }
 
 
@@ -697,6 +742,16 @@ deterministic, so cross-level equality doubles as a correctness check —
 with an nprobe=1 ablation showing the recall/probe tradeoff
 (~0.56 @ nprobe=1 vs ~1.0 @ nprobe=8 at calibration scale; LSH ~0.84).
 
+The curate phase runs the g15 image-curation composition end to end on
+a dup-planted image corpus (synth.generate_images_with_dups: every 10th
+image re-appears brightness-shifted and re-encoded — a PIXEL mutation
+only the computed perceptual hash can pair): one decode pass (luma
+stats + einsum-batched 32x32-DCT phash64), codegen quality gates,
+pigeonhole Hamming<=3 banding on the computed hash, log-round CC,
+survivor join, xxhash64 shard assign. The decode+hash stage is
+Arrow-batched map-side python over the corpus — the stage that must
+scale; CC's fixpoint collects are the fixed cost, as in dedup.
+
 ### Every recorded run (efficiency per phase)
 
 | run | when (UTC) | build | ingest | assign | mosaic | compare | dedup | ann | note |
@@ -804,23 +859,24 @@ def main() -> None:
     # for exactly the phases it ran (regen's medians pool per phase)
     phases = tuple(sys.argv[6].split(",")) if len(sys.argv) > 6 else PHASES
     n_vecs = int(sys.argv[7]) if len(sys.argv) > 7 else 1_000_000
+    n_cur = int(sys.argv[8]) if len(sys.argv) > 8 else 100_000
     for ph in phases:
         assert ph in PHASES, ph
     stage_dir = "/dev/shm/bench_scaling" if os.path.isdir("/dev/shm") else "/tmp/bench_scaling"
     t0 = time.time()
     out = _run(
         _STAGER.format(repo=REPO, n_images=n_images, n_stops=n_stops, n_docs=n_docs,
-                       n_vecs=n_vecs, stage_dir=stage_dir,
+                       n_vecs=n_vecs, n_cur=n_cur, stage_dir=stage_dir,
                        need_geo="assign" in phases,
                        need_cmp="compare" in phases, need_docs="dedup" in phases,
-                       need_ann="ann" in phases),
+                       need_ann="ann" in phases, need_curate="curate" in phases),
         None,
     )
     if "STAGED" not in out:
         raise RuntimeError(f"staging failed:\n{out[-3000:]}")
     try:
-        r_lo = run_level(lo, n_images, n_stops, n_docs, stage_dir, phases)
-        r_hi = run_level(hi, n_images, n_stops, n_docs, stage_dir, phases)
+        r_lo = run_level(lo, n_images, n_stops, n_docs, stage_dir, phases, n_cur)
+        r_hi = run_level(hi, n_images, n_stops, n_docs, stage_dir, phases, n_cur)
     finally:
         import shutil
 
@@ -851,6 +907,7 @@ def main() -> None:
         "n_stops": n_stops,
         "n_docs": n_docs,
         "n_vecs": n_vecs if "ann" in phases else None,
+        "n_cur": n_cur if "curate" in phases else None,
         "cpus": [lo, hi],
         "phases": list(phases),
         "low": r_lo,
