@@ -385,6 +385,38 @@ def connected_components(
     )
 
 
+def banded_signatures(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    n_bands: int = 4,
+    band_bits: int = 8,
+) -> DataFrame:
+    """Explode each 64-bit signature into its pigeonhole bit-bands:
+    (id, sig, band, band_val) — the candidate key two signatures within
+    Hamming n_bands-1 MUST share at least once. Shared by simhash_pairs
+    (batch self-join) and streaming/curation.py (probe-vs-accepted-log
+    join)."""
+    mask = (1 << band_bits) - 1
+    return sigs.select(
+        F.col(id_col),
+        F.col(sig_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col(sig_col), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, sig_col, F.col("bk.band").alias("band"), F.col("bk.band_val").alias("band_val"))
+
+
 def simhash_pairs(
     sigs: DataFrame,
     max_hamming: int = 3,
@@ -405,24 +437,7 @@ def simhash_pairs(
     """
     if max_hamming >= n_bands:
         raise ValueError("pigeonhole requires max_hamming < n_bands")
-    mask = (1 << band_bits) - 1
-    banded = sigs.select(
-        F.col(id_col),
-        F.col(sig_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col(sig_col), b * band_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("band_val"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, sig_col, F.col("bk.band").alias("band"), F.col("bk.band_val").alias("band_val"))
+    banded = banded_signatures(sigs, id_col, sig_col, n_bands, band_bits)
     sized = banded.withColumn(
         "bucket_n", F.count("*").over(W.partitionBy("band", "band_val"))
     ).filter(F.col("bucket_n") <= max_bucket)

@@ -1,0 +1,153 @@
+"""Incremental (streaming) image curation: per-batch decode + gates,
+within-batch dedup, banded cross-batch fold against the accepted log,
+first-wins canonical semantics, effectively-once replay."""
+
+import pyspark.sql.functions as F
+
+from gtfs_osm_sync_spark import synth
+from gtfs_osm_sync_spark.functions.codecs import decode_image, dct_phash, luma
+from gtfs_osm_sync_spark.sources.snaptable import SnapTable
+from gtfs_osm_sync_spark.streaming import curation as SC
+
+BRIGHT_LO, BRIGHT_HI = 112.0, 143.0
+
+
+def _num(iid: str) -> int:
+    return int(iid[3:])
+
+
+def _world(spark, n=300):
+    """3 batch files: batch0 = img[0,100); batch1 = img[100,200) +
+    dup{0..90 step 10} (cross-batch plants of batch0 originals) +
+    dup{100..190}; batch2 = img[200,300) + dup{200..290}."""
+    allrows = synth.generate_images_with_dups(spark, n)
+    num = F.substring("image_id", 4, 12).cast("long")
+    is_dup = F.col("image_id").startswith("dup")
+    b0 = allrows.filter(~is_dup & (num < 100))
+    b1 = allrows.filter(
+        (~is_dup & num.between(100, 199)) | (is_dup & (num < 200))
+    )
+    b2 = allrows.filter(num >= 200)
+    return allrows, [b0, b1, b2]
+
+
+def _expected(allrows_pdf):
+    """Driver-side expectation: gate-passers, per-pair survivor under
+    first-wins (earlier batch, then min id)."""
+    feats = {}
+    for _, r in allrows_pdf.iterrows():
+        img = decode_image(r["bytes"], r["fmt"])
+        g = luma(img)
+        feats[r["image_id"]] = (round(float(g.mean()), 6), dct_phash(img))
+
+    def batch_of(iid):
+        n = _num(iid)
+        if iid.startswith("img"):
+            return 0 if n < 100 else (1 if n < 200 else 2)
+        return 1 if n < 200 else 2
+
+    ok = {i for i, (b, _) in feats.items() if BRIGHT_LO <= b <= BRIGHT_HI}
+    survivors, folds = set(ok), {}
+    for iid in sorted(ok):
+        if not iid.startswith("dup"):
+            continue
+        other = "img" + iid[3:]
+        if other not in ok:
+            continue
+        h = bin((feats[iid][1] ^ feats[other][1]) & (2**64 - 1)).count("1")
+        if h > 3:
+            continue
+        pair = sorted([iid, other], key=lambda x: (batch_of(x), x))
+        winner, loser = pair[0], pair[1]
+        survivors.discard(loser)
+        folds[loser] = winner
+    return ok, survivors, folds
+
+
+def test_stream_curation_first_wins_and_restart(spark, tmp_path):
+    allrows, batches = _world(spark)
+    src = tmp_path / "drops"
+    src.mkdir()
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("overwrite").parquet(str(src / f"b{i}.parquet"))
+    schema = synth.IMAGES_SCHEMA
+
+    SC.stream_curate_images(
+        spark, str(src / "*"), str(tmp_path / "cur"), schema,
+        checkpoint_dir=str(tmp_path / "ckpt"), max_files_per_trigger=1,
+    )
+    curated_t = SnapTable(str(tmp_path / "cur/curated"))
+    folds_t = SnapTable(str(tmp_path / "cur/folds"))
+    bands_t = SnapTable(str(tmp_path / "cur/bands"))
+    curated = curated_t.read(spark).toPandas()
+    folds = folds_t.read(spark).toPandas()
+
+    ok, exp_surv, exp_folds = _expected(allrows.toPandas())
+    assert set(curated["image_id"]) == exp_surv
+    got_folds = dict(zip(folds["image_id"], folds["dup_of"]))
+    assert got_folds == exp_folds
+    # curated + folds partition the gate-passers; nothing lost or doubled
+    assert set(curated["image_id"]) | set(folds["image_id"]) == ok
+    assert not (set(curated["image_id"]) & set(folds["image_id"]))
+    # cross-batch folds (originals arrived first) kept the ORIGINAL:
+    # first-wins, the documented deviation from batch CC's min-id rule
+    cross = {d: t for d, t in exp_folds.items() if d.startswith("dup") and _num(d) < 100}
+    assert cross and all(t.startswith("img") for t in cross.values())
+    # same-batch pairs elected the min id (the batch pipeline's rule)
+    same = {d: t for d, t in exp_folds.items() if d.startswith("img")}
+    assert same and all(t.startswith("dup") for t in same.values())
+    # bands log carries n_bands rows per accepted image
+    assert bands_t.read(spark).count() == SC.N_BANDS * len(exp_surv)
+
+    # replay with no new data: effectively-once, no new commits
+    v_c, v_b, v_f = (t.current_version() for t in (curated_t, bands_t, folds_t))
+    SC.stream_curate_images(
+        spark, str(src / "*"), str(tmp_path / "cur"), schema,
+        checkpoint_dir=str(tmp_path / "ckpt"), max_files_per_trigger=1,
+    )
+    assert (curated_t.current_version(), bands_t.current_version(),
+            folds_t.current_version()) == (v_c, v_b, v_f)
+
+    # incremental continuation: only the new file is processed; prior
+    # survivors are never revoked and the accumulated folds stay exact
+    extra = synth.generate_images_with_dups(spark, 320).filter(
+        F.substring("image_id", 4, 12).cast("long") >= 300
+    )
+    n_extra_rows = extra.count()
+    assert n_extra_rows > 0
+    extra.coalesce(1).write.mode("overwrite").parquet(str(src / "b3.parquet"))
+    SC.stream_curate_images(
+        spark, str(src / "*"), str(tmp_path / "cur"), schema,
+        checkpoint_dir=str(tmp_path / "ckpt"), max_files_per_trigger=1,
+    )
+    cur2 = curated_t.read(spark).toPandas()
+    # previous survivors untouched (append-only; first-wins never revokes)
+    assert set(curated["image_id"]) <= set(cur2["image_id"])
+    ok2, exp_surv2, exp_folds2 = _expected(
+        synth.generate_images_with_dups(spark, 320).toPandas()
+    )
+    assert set(cur2["image_id"]) == exp_surv2
+    assert dict(zip(*(folds_t.read(spark).toPandas()[c] for c in ("image_id", "dup_of")))) == exp_folds2
+
+
+def test_curate_batch_no_dups_and_empty_log(spark):
+    """Degenerate shapes: a batch with no near-dups against no accepted
+    log (first batch) — everything survives, folds empty, CC tolerates
+    an empty edge set."""
+    imgs = synth.generate_images(spark, 40, partitions=2)
+    ok = SC._gated_features(imgs, 0.0, 255.0, 0.0, 0)
+    surv, folds = SC.curate_batch(ok, None)
+    assert surv.count() == 40
+    assert folds.count() == 0
+    assert set(surv.toPandas()["n_dups"]) == {0}
+
+
+def test_checkpoint_dir_required(spark, tmp_path):
+    import pytest
+
+    schema = synth.IMAGES_SCHEMA
+    with pytest.raises(ValueError, match="checkpoint_dir"):
+        SC.stream_curate_images(
+            spark, str(tmp_path / "x"), str(tmp_path / "y"), schema,
+            checkpoint_dir=None,
+        )
