@@ -101,9 +101,16 @@ _PLAN_BACKFILL = {
 
 def _plan_of(run: dict, phase: str) -> str | None:
     tagged = run.get("plan") or {}
-    if phase in tagged:
-        return tagged[phase]
-    return _PLAN_BACKFILL.get(str(run.get("build", ""))[:7], {}).get(phase)
+    plan = tagged.get(phase) or _PLAN_BACKFILL.get(
+        str(run.get("build", ""))[:7], {}
+    ).get(phase)
+    # the ann plan family includes the WORLD SIZE (the -wNNNk suffix in
+    # PLAN_TAGS): derive it from the run's recorded n_vecs so ledger rows
+    # written before the suffix existed land in the right family without
+    # rewriting evidence. Runs recorded with the suffix pass through.
+    if phase == "ann" and plan and "-w" not in plan and run.get("n_vecs"):
+        plan = f"{plan}-w{int(run['n_vecs']) // 1000}k"
+    return plan
 
 _CHILD = r"""
 import json, math, os, shutil, sys, time
