@@ -433,6 +433,13 @@ def mosaic_pyramid(
     L's TILES: one shuffle on the aperture-7 parent cell over a frame
     that SHRINKS ~7x per step, so total pyramid cost beyond the base is
     a geometric series in the base tile count — never a second pass over
+    the corpus. Each level's tile frame is localCheckpoint'd because it
+    is consumed TWICE (as a union branch of the result and as the next
+    level's rollup input) and union branches share no physical subplan:
+    ReuseExchange dedupes only the shuffle below the base build, so
+    without the break the base decode+stitch (the one full-corpus
+    Python pass) would re-execute once per pyramid level. Tile frames
+    are O(cells), so the materialization is bounded by the grid, never
     the corpus. Group sizes are geometry-bounded (center-containment
     parents take ~7, observed max 8, children; max_children is a
     defensive cap), so applyInPandas memory is O(grid^2 * cell_px^2)
@@ -464,13 +471,14 @@ def mosaic_pyramid(
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         return assemble_pyramid_pdf(pdf, cell_px, max_children)
 
-    frames = [cur]
+    frames = [cur.localCheckpoint()]
     for _ in range(max(levels, 1) - 1):
         frames.append(
             frames[-1]
             .withColumn("parent_cell", parent("hex_cell"))
             .groupBy("parent_cell")
             .applyInPandas(fn, PYRAMID_SCHEMA)
+            .localCheckpoint()
         )
     cols = [f.name for f in PYRAMID_SCHEMA]
     out = None

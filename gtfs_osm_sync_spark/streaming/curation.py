@@ -31,12 +31,18 @@ pipeline's components; the elected survivor differs exactly when a
 group's min id arrives after another member.
 
 Scale shape: per-batch work is O(batch) decode + O(batch * n_bands)
-probe keys against the bands log. The bands log is written with
-parquet bloom filters on band_val (SnapTable write_options, the same
-machinery as the node log's osm_id point-lookups), so at planet scale
-the probe join's log-side scan skips row groups that cannot contain a
-probed band key; nothing per batch shuffles anything proportional to
-the accepted corpus.
+probe keys against the bands log. For batches up to
+probe_pushdown_limit distinct band values, the batch's band keys are
+collected (bounded: O(batch * n_bands), the same contract as the
+sync's touched-id lookup) and pushed into the log scan as an
+In(band_val, ...) predicate; the bands log is written with parquet
+bloom filters on band_val (SnapTable write_options, the same machinery
+as the node log's osm_id point-lookups), so the reader skips every row
+group whose bloom filter rejects all probed band keys — row-group
+point lookups instead of a full-log column pass. Wider batches fall
+back to the plain hash join (full log scan, still never
+accepted x batch pairs); nothing per batch shuffles anything
+proportional to the accepted corpus.
 
 Crash consistency: the three appends are separate atomic commits, each
 effectively-once under its own (run_id, batch_id) ledger — a replayed
@@ -75,6 +81,7 @@ def curate_batch(
     accepted_bands: DataFrame | None,
     max_hamming: int = 3,
     n_shards: int = 16,
+    probe_pushdown_limit: int = 8192,
 ):
     """One micro-batch through within-batch + cross-batch dedup.
 
@@ -83,8 +90,20 @@ def curate_batch(
     accepted_bands (image_id, phash64, band, band_val) of everything
                    accepted so far, or None for the first batch
 
+    probe_pushdown_limit: batches with at most this many distinct band
+    values get their keys pushed into the accepted-log scan as an
+    In(band_val, ...) predicate (collected driver-side — bounded,
+    O(batch * n_bands)); with the bands log written under
+    bloom_filter_options(["band_val"]) the parquet reader then answers
+    the probe with row-group point lookups. 0 keeps the plain hash
+    join for every batch. The filter keys on band_val alone (ignoring
+    the band ordinal) — a superset of the true (band, band_val) probe
+    set, so the join's result is unchanged.
+
     Returns (survivors, folds): survivors carry the curated schema
-    (+n_dups, shard); folds are (image_id, dup_of, hamming).
+    (+n_dups, shard); folds are (image_id, dup_of, hamming) where
+    dup_of is the CLOSEST accepted match (min Hamming, ties to the
+    smallest accepted id) so the reported pair is consistent.
     """
     # -- within batch: the batch pipeline's exact machinery ------------
     pairs = simhash_pairs(
@@ -111,6 +130,22 @@ def curate_batch(
             n_bands=N_BANDS,
             band_bits=BAND_BITS,
         )
+        if probe_pushdown_limit:
+            # bounded driver collect (O(batch * n_bands) keys, the same
+            # contract as the sync's touched-id lookup): pushed as an In
+            # predicate, the accepted-log scan becomes row-group point
+            # lookups under the band_val bloom filter
+            keys = [
+                r["band_val"]
+                for r in probe.select("band_val")
+                .distinct()
+                .limit(probe_pushdown_limit + 1)
+                .collect()
+            ]
+            if len(keys) <= probe_pushdown_limit:
+                accepted_bands = accepted_bands.filter(
+                    F.col("band_val").isin(keys)
+                )
         acc = accepted_bands.select(
             F.col("band"),
             F.col("band_val"),
@@ -125,10 +160,15 @@ def curate_batch(
                 F.bit_count(F.col("phash64").bitwiseXOR(F.col("acc_sig"))),
             )
             .filter(F.col("hamming") <= max_hamming)
+            # one consistent (dup_of, hamming) pair per folded canonical:
+            # the closest accepted match, ties to the smallest accepted id
+            # (independent min(acc_id)/min(hamming) could mix rows)
             .groupBy("image_id")
-            .agg(
-                F.min("acc_id").alias("dup_of"),
-                F.min("hamming").alias("hamming"),
+            .agg(F.min(F.struct("hamming", "acc_id")).alias("_m"))
+            .select(
+                "image_id",
+                F.col("_m.acc_id").alias("dup_of"),
+                F.col("_m.hamming").alias("hamming"),
             )
         )
     else:
@@ -200,6 +240,7 @@ def stream_curate_images(
     min_caption_tokens: int = 3,
     max_hamming: int = 3,
     n_shards: int = 16,
+    probe_pushdown_limit: int = 8192,
 ):
     """Start (and with trigger_once, drain) the incremental curation
     stream. Tables under root: curated/, bands/, folds/ (SnapTables).
@@ -234,7 +275,8 @@ def stream_curate_images(
             else None
         )
         survivors, folds = curate_batch(
-            ok, acc, max_hamming=max_hamming, n_shards=n_shards
+            ok, acc, max_hamming=max_hamming, n_shards=n_shards,
+            probe_pushdown_limit=probe_pushdown_limit,
         )
         survivors = survivors.localCheckpoint()  # bounded: O(batch)
         cp = {"run_id": run_id, "chunks": [bid], "source": "stream"}

@@ -142,6 +142,57 @@ def test_curate_batch_no_dups_and_empty_log(spark):
     assert set(surv.toPandas()["n_dups"]) == {0}
 
 
+def test_band_bloom_filter_and_probe_pushdown(spark, tmp_path):
+    """The bands-log point-lookup layout: stream_curate_images writes the
+    bands table under bloom_filter_options(["band_val"]) (every non-empty
+    row group carries the filter), curate_batch pushes In(band_val, ...)
+    into the accepted-log scan for batches under probe_pushdown_limit,
+    and the pushdown changes nothing about the results (superset filter:
+    band_val keys without the band ordinal)."""
+    import glob
+
+    allrows, batches = _world(spark, n=200)
+    src = tmp_path / "drops"
+    src.mkdir()
+    for i, b in enumerate(batches[:2]):
+        b.coalesce(1).write.mode("overwrite").parquet(str(src / f"b{i}.parquet"))
+    SC.stream_curate_images(
+        spark, str(src / "*"), str(tmp_path / "cur"), synth.IMAGES_SCHEMA,
+        checkpoint_dir=str(tmp_path / "ckpt"), max_files_per_trigger=1,
+    )
+    from tests.test_streaming_sync import _bloom_filters
+
+    files = glob.glob(
+        str(tmp_path / "cur/bands/data/**/*.parquet"), recursive=True
+    )
+    assert files
+    counts = [_bloom_filters(spark, f, "band_val") for f in files]
+    assert sum(n for n, _ in counts) > 0
+    assert all(n == have for n, have in counts)
+
+    # re-run batch 1 through curate_batch directly against the persisted
+    # bands log: the pushed In(band_val, ...) predicate reaches the scan,
+    # and pushdown-off produces identical folds
+    bands_t = SnapTable(str(tmp_path / "cur/bands"))
+    ok1 = SC._gated_features(batches[1], BRIGHT_LO, BRIGHT_HI, 0.0, 0).localCheckpoint()
+    acc = bands_t.read(spark)
+    _, folds_pd = SC.curate_batch(ok1, acc)
+    plan = folds_pd._jdf.queryExecution().executedPlan().toString()
+    pushed = [
+        l.split("PushedFilters")[1]
+        for l in plan.splitlines()
+        if "PushedFilters" in l and "band_val" in l
+    ]
+    assert any("In(band_val" in s for s in pushed)
+    _, folds_plain = SC.curate_batch(ok1, acc, probe_pushdown_limit=0)
+    plain_plan = folds_plain._jdf.queryExecution().executedPlan().toString()
+    assert "In(band_val" not in plain_plan
+    get = lambda df: sorted(
+        map(tuple, df.toPandas()[["image_id", "dup_of"]].itertuples(index=False))
+    )
+    assert get(folds_pd) == get(folds_plain)
+
+
 def test_checkpoint_dir_required(spark, tmp_path):
     import pytest
 
