@@ -108,6 +108,30 @@ def main() -> int:
             failures.append(name)
 
     print(f"\n{n_run - len(failures)}/{n_run} queries match")
+    # full sweeps leave a committed record (BENCH/oracle_local.json):
+    # the driver grades a fixed query list, so this is the evidence
+    # trail for entries outside it
+    if not only:
+        import json
+        import os
+        import subprocess
+
+        build = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd="/root/repo",
+        ).stdout.strip()
+        rec = {
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "build": build,
+            "sf_dir": sf_dir,
+            "n_queries": n_run,
+            "n_match": n_run - len(failures),
+            "failures": failures,
+        }
+        path = os.path.join("/root/repo", "BENCH", "oracle_local.json")
+        with open(path, "w") as f:
+            json.dump(rec, f, indent=1)
+        print(f"recorded {path}")
     return 1 if failures else 0
 
 
