@@ -46,9 +46,12 @@ scans are bounded by LAYOUT, not post-scan filters:
   BYTES drop from O(feed) to O(ring cells covered): a spatially
   clustered batch (the realistic edit pattern) touches O(1)
   partitions (~9% of feed bytes measured at k=100); a worldwide
-  scatter of k ~ n_partitions nodes degenerates the filter to a full
-  scan through the layout's partition granularity, measured ~1.6x a
-  flat feed's compact scan — the worst case, bounded, and still well
+  scatter of k ~ n_partitions nodes would degenerate the filter to a
+  full scan that still pays the isin literal-set evaluation (~2.2x a
+  flat feed's compact scan on an idle-core replica), so batches whose
+  rings cover more than feed_prune_max_cells coarse cells skip the
+  filter and scan plain — the worst case is then the bare partitioned
+  layout's scan granularity (~1.3x flat), bounded, and still well
   under the full re-compare (BENCH/BASELINE.md delta section). Pass n_feed (static per feed) so the fallback fraction
   never re-counts the feed, and feed_ids (a cached single-column
   gtfs_id frame) so the known-id shrink scans memory, not parquet.
@@ -272,6 +275,22 @@ def compact_node_log(
     return node_log.compact(spark, reducer=latest_rows, checkpoint=checkpoint)
 
 
+def _pruned_feed(
+    gtfs: DataFrame, changed: DataFrame, radius_m: float, max_cells: int
+) -> tuple[DataFrame, bool]:
+    """Feed scan for one delta batch: partition-pruned to the changed
+    nodes' coarse rings when the layout carries cell_part AND the ring
+    set is narrow enough to prune (<= max_cells); plain otherwise (wide
+    scatters prune nothing and the isin literal-set eval is pure cost —
+    see apply_update_batch's knob docs). Returns (feed, pruned?)."""
+    if "cell_part" not in gtfs.columns:
+        return gtfs, False
+    feed_cells = coarse_partition_cells(changed, radius_m)
+    if len(feed_cells) > max_cells:
+        return gtfs, False
+    return gtfs.filter(F.col("cell_part").isin(feed_cells)), True
+
+
 def _pruned_node_state(
     spark: SparkSession, node_log: SnapTable, sub: DataFrame, radius_m: float
 ) -> DataFrame | None:
@@ -310,6 +329,7 @@ def apply_update_batch(
     n_feed: int | None = None,
     feed_ids: DataFrame | None = None,
     id_pushdown_limit: int = 1000,
+    feed_prune_max_cells: int = 256,
     **compare_kw,
 ) -> int:
     """One micro-batch of the incremental sync. `updates` rows use the
@@ -337,7 +357,16 @@ def apply_update_batch(
     - gtfs carrying a `cell_part` column (stamp_feed_cells + a
       partitionBy("cell_part") feed store) partition-prunes the stop
       scan to the changed nodes' coarse rings — O(k * ring) feed I/O
-      per batch instead of O(feed).
+      per batch instead of O(feed). The prune is regime-switched:
+      batches whose rings cover more than feed_prune_max_cells coarse
+      cells skip the filter and scan the feed plain — a wide scatter
+      prunes nothing but still pays the filter's literal-set
+      evaluation (measured on an idle-core replica: bare partitioned
+      scan ~1.3x a flat feed, +isin over all 534 spread-case cells
+      ~2.2x; BENCH/BASELINE.md delta section), so past the cutoff the
+      filter is pure cost. Size the knob to a minority share of the
+      layout's populated partitions (COARSE_RES=1 has ~1,100 land
+      cells planet-wide; the 4M bench world has 217).
     - n_feed: the feed's row count (static per deployment); passing it
       removes the per-batch gtfs.count() the fallback fraction needs.
     - feed_ids: a cached single-column `gtfs_id` frame of the FULL
@@ -440,16 +469,14 @@ def apply_update_batch(
         # sub -> 22 s compare; coalesce(8) -> 5.3 s, identical rows.
         par = spark.sparkContext.defaultParallelism
         changed = changed.coalesce(par).localCheckpoint()
-        feed = gtfs
-        if "cell_part" in gtfs.columns:
-            # partitioned-feed layout: only partitions inside the changed
-            # nodes' coarse rings are scanned at all (PartitionFilters) —
-            # the stop side of the prejoin drops from O(feed) to
-            # O(k * ring) I/O. Sound: an affected stop is within
-            # radius_m of some changed position, so its coarse cell is
-            # in that position's covering ring.
-            feed_cells = coarse_partition_cells(changed, radius_m)
-            feed = gtfs.filter(F.col("cell_part").isin(feed_cells))
+        # partitioned-feed layout: only partitions inside the changed
+        # nodes' coarse rings are scanned at all (PartitionFilters) —
+        # the stop side of the prejoin drops from O(feed) to
+        # O(k * ring) I/O. Sound: an affected stop is within radius_m
+        # of some changed position, so its coarse cell is in that
+        # position's covering ring. Wide scatters skip the filter
+        # (regime switch — see docstring).
+        feed, _ = _pruned_feed(gtfs, changed, radius_m, feed_prune_max_cells)
         touched = affected_stop_ids(feed, changed, radius_m)
         sub = (
             feed.join(F.broadcast(touched), "gtfs_id", "left_semi")

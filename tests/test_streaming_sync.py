@@ -306,6 +306,44 @@ def test_feed_partition_filter_prunes_scan(spark, tmp_path):
     assert len(kept) < stops.count()
 
 
+def test_feed_prune_regime_switch(spark, tmp_path):
+    """Batches whose ring sets cover more than feed_prune_max_cells
+    coarse cells skip the feed filter (a wide scatter prunes nothing
+    and the isin literal-set eval is pure cost); the merged results are
+    identical in both regimes."""
+    stops, batches = _world(spark)
+    feed = _stamped_feed(spark, tmp_path, stops, "feed_regime")
+    nf = feed.count()
+    results = {}
+    for regime, max_cells in (("prune", 10_000), ("plain", 0)):
+        nlog = SnapTable(str(tmp_path / f"nodes_{regime}"))
+        rlog = SnapTable(str(tmp_path / f"results_{regime}"))
+        for bid, b in enumerate(batches):
+            S.apply_update_batch(
+                spark, b, nlog, rlog, feed, [AG], bid,
+                full_recompare_frac=None, n_feed=nf,
+                feed_prune_max_cells=max_cells,
+                id_digits=synth._CMP_DIGITS,
+            )
+        results[regime] = _sorted_rows(S.current_results(rlog, spark))
+    assert results["prune"] == results["plain"]
+    # the switch itself: narrow ring set -> filtered feed; wide cutoff
+    # exceeded -> the SAME frame back, no isin built at all
+    changed = batches[1].select("lat", "lon")
+    cells = S.coarse_partition_cells(changed)
+    assert cells
+    f_pruned, did = S._pruned_feed(feed, changed, 400.0, 10_000)
+    assert did and f_pruned is not feed
+    plan = f_pruned._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert scan and "cell_part" in scan[0].split("PartitionFilters")[1].split("]")[0]
+    f_plain, did = S._pruned_feed(feed, changed, 400.0, len(cells) - 1)
+    assert not did and f_plain is feed
+    # a flat (unpartitioned) feed never prunes regardless of the knob
+    f_flat, did = S._pruned_feed(stops, changed, 400.0, 10_000)
+    assert not did and f_flat is stops
+
+
 def test_prune_state_keeps_null_cell_rows(spark):
     """hex_cell-NULL state rows (pre-upgrade log files surfaced by the
     mergeSchema read) are unprunable, not out-of-ring: they must survive

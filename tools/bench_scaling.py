@@ -602,7 +602,12 @@ pruned scan's bytes stay O(covered partitions); at 4M-in-RAM those O(N)
 scans cost ~2 s and fixed per-query costs dominate every variant. The
 operational disciplines are: cluster batches spatially where possible
 (OSM edits come that way), compact the layout, and let the fallback
-bound the wide tail.
+bound the wide tail. The spread-case isin tax is now engine policy,
+not an operator caveat: apply_update_batch skips the feed filter when
+the ring set exceeds feed_prune_max_cells (default 256), so wide
+scatters pay only the bare partitioned-scan granularity (~1.3x flat),
+never the +isin ~2.2x (regime switch pinned in
+test_feed_prune_regime_switch).
 
 Two write-side disciplines this bench enforces (both prescribed by the
 sync docs): the hive layout is COMPACTED (repartition("cell_part")
