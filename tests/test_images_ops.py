@@ -85,6 +85,20 @@ def test_caption_and_pixel_equality_through_pipeline(spark):
             assert np.allclose(got, exp)
 
 
+def test_mosaic_pyramid_single_base_pass(spark):
+    """The pyramid's union consumes MATERIALIZED level frames: without
+    the per-level localCheckpoint, each union branch re-executes the
+    full-corpus base decode+stitch (union branches share no physical
+    subplan; ReuseExchange dedupes only the shuffle below it). Pinned by
+    the result plan containing no Python-stage nodes at all — every
+    applyInPandas ran exactly once, during level materialization."""
+    images = synth.generate_images(spark, 60, partitions=2)
+    out = IMG.mosaic_pyramid(geotag_images(images), levels=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "mapInPandas" not in plan and "MapInPandas" not in plan
+
+
 def test_mosaic_pyramid_conservation_and_pixels(spark):
     """Pyramid rollup: every level conserves the image count, res
     decrements per level, parenthood is center-containment, and a parent

@@ -79,7 +79,8 @@ from gtfs_osm_sync_spark.session import get_spark
 from gtfs_osm_sync_spark import synth
 from gtfs_osm_sync_spark.operators.compare import compare_stops
 from gtfs_osm_sync_spark.streaming.sync import (
-    affected_stop_ids, coarse_partition_cells, prune_state_to_stop_rings)
+    _pruned_feed, affected_stop_ids, coarse_partition_cells,
+    prune_state_to_stop_rings)
 from gtfs_osm_sync_spark.functions.mappings import zero_pad_id
 import pyspark.sql.functions as F
 
@@ -200,9 +201,11 @@ else:
         # sub still cost 22 s of per-stage task+worker overhead
         def delta_r5(changed=changed0, path=state_path):
             # apply_update_batch with a cell_part feed + n_feed + feed_ids:
-            # the ONLY feed I/O is the partition-pruned scan
-            feed = stops_part.filter(
-                F.col("cell_part").isin(coarse_partition_cells(changed)))
+            # the feed scan goes through the SAME regime switch the
+            # engine uses (_pruned_feed, default cutoff 256 cells) —
+            # clustered batches measure the partition-pruned scan,
+            # worldwide scatters the plain partitioned scan (no isin)
+            feed, _ = _pruned_feed(stops_part, changed, 400.0, 256)
             touched = affected_stop_ids(feed, changed)
             sub = feed.join(F.broadcast(touched), "gtfs_id",
                             "left_semi").coalesce(cpus).localCheckpoint()

@@ -584,12 +584,13 @@ Findings: pruning pays in proportion to ring coverage, and what it buys
 at this scale is BYTES, not wall.
 {clustered_line}A SPREAD k=100 batch (uniform worldwide scatter —
 adversarial) covers {k1.get('n_ring_cells', '?')} ring cells against
-{npart} partitions, so the partition filter prunes nothing and the scan pays
-the filter's literal-set evaluation plus hive-layout overhead — a
-same-JVM decomposition on an idle-core replica measured the bare
-partitioned scan at ~1.3x flat and +isin(all cells) at ~2.2x flat —
-in-bench ~1.6x the flat feed ({dsec(k1)} s vs {k1.get('delta_r4_sec')} s) — the
-layout's measured worst case, still
+{npart} partitions, so the partition filter would prune nothing while
+paying its own literal-set evaluation (same-JVM idle-core replica: bare
+partitioned scan ~1.3x flat, +isin(all cells) ~2.2x flat; measured
+in-bench ~1.6x before the switch, 22.46 s vs 14.13 s) —
+apply_update_batch therefore AUTO-SWITCHES past feed_prune_max_cells
+(default 256 cells) to a plain scan of the partitioned layout, measured
+at parity with the flat feed ({dsec(k1)} s vs {k1.get('delta_r4_sec')} s r4-flat) and
 {round(d['full_sec'] / dsec(k1), 1)}x under the full re-compare. At
 k=10k — {round(100 * d['k10000']['recompared_stops'] / d['n_stops'])}% of the feed
 affected — the delta machinery has no selectivity left and LOSES to the
@@ -602,12 +603,11 @@ pruned scan's bytes stay O(covered partitions); at 4M-in-RAM those O(N)
 scans cost ~2 s and fixed per-query costs dominate every variant. The
 operational disciplines are: cluster batches spatially where possible
 (OSM edits come that way), compact the layout, and let the fallback
-bound the wide tail. The spread-case isin tax is now engine policy,
-not an operator caveat: apply_update_batch skips the feed filter when
-the ring set exceeds feed_prune_max_cells (default 256), so wide
-scatters pay only the bare partitioned-scan granularity (~1.3x flat),
-never the +isin ~2.2x (regime switch pinned in
-test_feed_prune_regime_switch).
+bound the wide tail. The spread-case isin tax is engine policy, not an
+operator caveat: apply_update_batch skips the feed filter when the
+ring set exceeds feed_prune_max_cells (default 256) — regime switch
+pinned in test_feed_prune_regime_switch, measured above at flat-feed
+parity.
 
 Two write-side disciplines this bench enforces (both prescribed by the
 sync docs): the hive layout is COMPACTED (repartition("cell_part")
