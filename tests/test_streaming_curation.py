@@ -193,6 +193,78 @@ def test_band_bloom_filter_and_probe_pushdown(spark, tmp_path):
     assert get(folds_pd) == get(folds_plain)
 
 
+def test_mid_batch_crash_between_appends(spark, tmp_path, monkeypatch):
+    """Crash consistency of the three-append commit sequence: a failure
+    AFTER the curated append but BEFORE the bands/folds appends of one
+    micro-batch must leave a state a restart completes to exactly the
+    uninterrupted run's tables — this exercises the replay path where
+    done_curated=True but the batch's bands are missing (and, had bands
+    committed first, the self-probe same-id exclusion)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from gtfs_osm_sync_spark.pipeline import InjectedFailure
+
+    allrows, batches = _world(spark, n=200)
+    schema = synth.IMAGES_SCHEMA
+    src = tmp_path / "drops"
+    src.mkdir()
+    for i, b in enumerate(batches[:2]):
+        b.coalesce(1).write.mode("overwrite").parquet(str(src / f"b{i}.parquet"))
+
+    # uninterrupted reference run
+    SC.stream_curate_images(
+        spark, str(src / "*"), str(tmp_path / "ref"), schema,
+        checkpoint_dir=str(tmp_path / "ckpt_ref"), max_files_per_trigger=1,
+    )
+
+    # faulty run: the bands append of batch 1 dies once, after batch 1's
+    # curated rows are already committed
+    real_snaptable = SC.SnapTable
+    state = {"armed": True}
+
+    class FaultySnapTable(real_snaptable):
+        def append(self, df, checkpoint=None):
+            if (
+                state["armed"]
+                and self.root.endswith("/bands")
+                and checkpoint
+                and checkpoint.get("chunks") == [1]
+            ):
+                state["armed"] = False
+                raise InjectedFailure("crash between curated and bands appends")
+            return super().append(df, checkpoint=checkpoint)
+
+    monkeypatch.setattr(SC, "SnapTable", FaultySnapTable)
+    with pytest.raises((StreamingQueryException, InjectedFailure)):
+        SC.stream_curate_images(
+            spark, str(src / "*"), str(tmp_path / "res"), schema,
+            checkpoint_dir=str(tmp_path / "ckpt_res"), max_files_per_trigger=1,
+        )
+    cur_t = SnapTable(str(tmp_path / "res/curated"))
+    assert 1 in cur_t.processed_chunks("curate")  # curated landed
+    assert 1 not in SnapTable(str(tmp_path / "res/bands")).processed_chunks("curate")
+
+    # restart (fault disarmed): the half-committed batch completes
+    monkeypatch.setattr(SC, "SnapTable", real_snaptable)
+    SC.stream_curate_images(
+        spark, str(src / "*"), str(tmp_path / "res"), schema,
+        checkpoint_dir=str(tmp_path / "ckpt_res"), max_files_per_trigger=1,
+    )
+    import pandas as pd
+
+    def canon(root, table):
+        pdf = SnapTable(str(tmp_path / f"{root}/{table}")).read(spark).toPandas()
+        pdf = pdf.sort_index(axis=1)
+        # bands has n_bands rows per image: total-order on all columns
+        return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+    for table in ("curated", "bands", "folds"):
+        pd.testing.assert_frame_equal(
+            canon("ref", table), canon("res", table), check_dtype=False
+        )
+
+
 def test_checkpoint_dir_required(spark, tmp_path):
     import pytest
 
