@@ -488,3 +488,56 @@ def mosaic_pyramid(
         )
         out = lvl if out is None else out.unionByName(lvl)
     return out
+
+
+def write_pyramid(pyr: DataFrame, path: str) -> None:
+    """Tile-SERVING layout for a mosaic_pyramid result: hive-partitioned
+    by res (a tile fetch names exactly one level, so the level filter
+    becomes PartitionFilters — the scan never opens other levels),
+    repartition("res") first so each level is one compacted file tree
+    (the same small-files discipline as the sync's cell_part feed).
+    Iceberg equivalent: partition spec (res) + rewrite_data_files."""
+    pyr.repartition("res").write.mode("overwrite").partitionBy("res").parquet(path)
+
+
+def tiles_for_bbox(
+    spark,
+    path: str,
+    min_lat: float,
+    min_lon: float,
+    max_lat: float,
+    max_lon: float,
+    res: int,
+) -> DataFrame:
+    """Tile-server fetch: the tiles of ONE pyramid level that cover a
+    bbox, from a write_pyramid layout. The level filter partition-prunes
+    the scan; the bbox's covering cells (operators/pip.py polygon_cells
+    — the same 4-corner axial cover the PIP join uses) push down as
+    In(hex_cell, ...) so the parquet reader row-group-skips inside the
+    level. COVERING semantics: every tile intersecting the bbox is
+    returned, plus a bounded margin of adjacent tiles from the
+    rectangular q x r cover (clients clip; exactness is the renderer's
+    job, pruning is the scan's). A bbox whose cover exceeds
+    polygon_cells' max_cells reads the whole (single-level) partition —
+    the global-band fallback, same as the PIP join's."""
+    from .pip import polygon_cells
+
+    cover = polygon_cells(
+        pd.DataFrame(
+            [
+                {
+                    "poly_id": "bbox",
+                    "min_lat": min_lat,
+                    "min_lon": min_lon,
+                    "max_lat": max_lat,
+                    "max_lon": max_lon,
+                }
+            ]
+        ),
+        res=res,
+    )
+    cells = [int(c) for c in cover["hex_cell"].dropna()]
+    df = spark.read.parquet(path).filter(F.col("res") == res)
+    if cells:
+        df = df.filter(F.col("hex_cell").isin(cells))
+    return df

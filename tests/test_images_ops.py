@@ -85,6 +85,41 @@ def test_caption_and_pixel_equality_through_pipeline(spark):
             assert np.allclose(got, exp)
 
 
+def test_pyramid_serving_layout_pruned_fetch(spark, tmp_path):
+    """write_pyramid + tiles_for_bbox: the level filter reaches the scan
+    as PartitionFilters (res is the hive partition column — other levels
+    are never opened) and the bbox's covering cells as In(hex_cell, …)
+    in PushedFilters; the fetch returns every level tile whose cell the
+    bbox cover names (covering semantics — a bounded margin of adjacent
+    tiles is allowed, nothing inside is missed)."""
+    images = synth.generate_images(spark, 400, partitions=2)
+    pyr = IMG.mosaic_pyramid(geotag_images(images), levels=2)
+    path = str(tmp_path / "pyr")
+    IMG.write_pyramid(pyr, path)
+
+    pdf = pyr.toPandas()
+    lvl8 = pdf[pdf["res"] == 8]
+    assert len(lvl8)
+    from gtfs_osm_sync_spark.functions.cells import hex_cell_center_latlon
+
+    cells = lvl8["hex_cell"].to_numpy(np.int64)
+    lats, lons = hex_cell_center_latlon(cells)
+    # a bbox around the first few level-8 tiles
+    bbox = (lats[:3].min(), lons[:3].min(), lats[:3].max(), lons[:3].max())
+    got = IMG.tiles_for_bbox(spark, path, *bbox, res=8)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert scan and "res" in scan[0].split("PartitionFilters")[1].split("]")[0]
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and any("In(hex_cell" in s.split("PushedFilters")[1] for s in pushed)
+    got_pdf = got.toPandas()
+    assert set(got_pdf["res"]) <= {8}
+    # completeness: the three seed tiles are all in the fetch
+    assert set(cells[:3]) <= set(got_pdf["hex_cell"])
+    # pruning is real: the fetch is a strict subset of the level itself
+    assert 0 < len(got_pdf) < len(lvl8)
+
+
 def test_mosaic_pyramid_single_base_pass(spark):
     """The pyramid's union consumes MATERIALIZED level frames: without
     the per-level localCheckpoint, each union branch re-executes the
