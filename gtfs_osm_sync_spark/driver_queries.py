@@ -2266,6 +2266,51 @@ def g13(spark, sf_dir):
 
 
 @register(
+    "g16_tile_fetch",
+    """
+    SELECT CAST(n_tiles AS BIGINT) AS n_tiles, CAST(cell_xor AS BIGINT) AS cell_xor,
+           CAST(images_sum AS BIGINT) AS images_sum, CAST(px_sum AS BIGINT) AS px_sum
+    FROM (VALUES (12, 110595408119, 12, 2439353))
+      AS t(n_tiles, cell_xor, images_sum, px_sum)
+    """,
+)
+def g16(spark, sf_dir):
+    """The tile-SERVING read path, oracle-checked end to end: build the
+    g14 pyramid (levels=2), store it write_pyramid (hive-partitioned by
+    res, compacted), then tiles_for_bbox a fixed bbox at res 8 — the
+    level filter partition-prunes the scan and the bbox's covering
+    cells push as In(hex_cell, ...) (plan pinned in
+    test_pyramid_serving_layout_pruned_fetch). Digested to one
+    all-integer row (count, bit_xor of the tile cell ids — set
+    sensitivity without int64 sum overflow on ~2.6e18 cell ids — image
+    and decoded-pixel sums); literal oracle pinned at the driver gate's
+    sf=0.01 scale. The serving store is written under a run-unique temp
+    dir (the digest row is computed eagerly so the dir can be removed
+    before returning)."""
+    import shutil
+    import tempfile
+
+    from . import synth
+    from .operators.images import mosaic_pyramid, tiles_for_bbox, write_pyramid
+
+    n = min(_sf_n(sf_dir, per_unit=40_000), 20_000)
+    geo = synth.generate_images_geo(spark, n)
+    path = tempfile.mkdtemp(prefix="g16_pyr_")
+    try:
+        write_pyramid(mosaic_pyramid(geo, levels=2), path)
+        got = tiles_for_bbox(spark, path, 9.6, -148.4, 10.4, -147.6, res=8)
+        rows = got.agg(
+            F.count("*").alias("n_tiles"),
+            F.bit_xor("hex_cell").alias("cell_xor"),
+            F.sum("n_images").alias("images_sum"),
+            F.sum("px_sum").alias("px_sum"),
+        ).collect()  # bounded: ONE digest row, so the store can be dropped
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows)
+
+
+@register(
     "g14_mosaic_pyramid",
     """
     SELECT CAST(res AS INT) AS res, CAST(n_tiles AS BIGINT) AS n_tiles,
