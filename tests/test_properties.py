@@ -110,3 +110,97 @@ def test_tag_merge_laws_pure(new, old):
         assert over[k] == (new[k] if new[k] != "" else "none")
     # idempotence
     assert {**over, **sent} == over
+
+
+# ---- codec round-trip laws (the hand-rolled real formats) ----------------
+
+_img_st = st.tuples(
+    st.integers(min_value=1, max_value=17),
+    st.integers(min_value=1, max_value=17),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+
+
+def _rand_img(h, w, seed):
+    return (
+        np.random.default_rng(seed).integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+    )
+
+
+@settings(max_examples=60, deadline=None)
+@given(_img_st)
+def test_png_roundtrip_identity(hw):
+    from gtfs_osm_sync_spark.functions.codecs import png_decode, png_encode
+
+    img = _rand_img(*hw)
+    assert np.array_equal(png_decode(png_encode(img)), img)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_img_st)
+def test_lossy_roundtrip_bounded_error(hw):
+    from gtfs_osm_sync_spark.functions.codecs import (
+        _JPGQ_STEP,
+        decode_lossy,
+        encode_lossy,
+        psnr,
+    )
+
+    img = _rand_img(*hw)
+    out = decode_lossy(encode_lossy(img))
+    assert out.shape == img.shape
+    err = np.abs(out.astype(np.int16) - img.astype(np.int16))
+    assert err.max() <= _JPGQ_STEP  # quantizer bound
+    p = psnr(img, out)
+    assert p >= 40.0  # the north-rule lossy floor (inf when identical)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=800),
+    st.sampled_from([1, 2, 4]),
+    st.sampled_from([8000, 16000, 44100]),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_wav_roundtrip_quantization_bound(n, sw, sr, seed):
+    from gtfs_osm_sync_spark.operators.media import decode_wav, encode_wav, wav_info
+
+    x = (np.random.default_rng(seed).random(n) * 2.0 - 1.0).astype(np.float32)
+    data = encode_wav(x, sr, sampwidth=sw)
+    got, got_sr = decode_wav(data)
+    assert got_sr == sr and len(got) == n
+    assert wav_info(data) == (sr, n, 1, sw)
+    # error bound of the standard (libsndfile) convention: encode scales
+    # by 2^(n-1)-1 (or 127 for u8), decode divides by 2^(n-1) — the
+    # asymmetry shrinks by up to 1/D and rounding adds 0.5/D, so
+    # |err| <= 1.5/D
+    bound = 1.5 / float(2 ** (8 * sw - 1))
+    assert np.abs(got.astype(np.float64) - np.clip(x, -1, 1)).max() <= bound
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=1, max_value=8),
+    st.sampled_from([5.0, 24.0, 30.0]),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_avi_roundtrip_frames_exact(n_frames, h, w, fps, seed):
+    from gtfs_osm_sync_spark.operators.media import (
+        avi_info,
+        decode_avi_frames,
+        encode_avi,
+    )
+
+    rng = np.random.default_rng(seed)
+    frames = [
+        rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8) for _ in range(n_frames)
+    ]
+    data = encode_avi(frames, fps)
+    got_fps, got_nf, got_w, got_h = avi_info(data)
+    assert (got_nf, got_w, got_h) == (n_frames, w, h)
+    assert abs(got_fps - fps) < 0.01
+    got = decode_avi_frames(data, list(range(n_frames)))
+    for a, b in zip(got, frames):
+        assert np.array_equal(a, b)  # Motion-PNG: lossless frames
