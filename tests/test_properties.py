@@ -204,3 +204,23 @@ def test_avi_roundtrip_frames_exact(n_frames, h, w, fps, seed):
     got = decode_avi_frames(data, list(range(n_frames)))
     for a, b in zip(got, frames):
         assert np.array_equal(a, b)  # Motion-PNG: lossless frames
+
+
+@settings(max_examples=200, deadline=None)
+@given(lat_st, lon_st, st.integers(min_value=1, max_value=9))
+def test_hex_cell_center_fixpoint_and_parent_containment(lat, lon, res):
+    """The grid laws the pyramid and all ring covers rely on: a cell's
+    center re-encodes to the SAME cell at its own res (center fixpoint),
+    unpack inverts the packing, and hex_parent_np(c) is exactly the
+    res-1 cell containing c's center (the aperture-7 parent relation)."""
+    c = cells.hex_cell_np(np.array([lat]), np.array([lon]), res)
+    r2, q, r = cells.hex_cell_unpack(c)
+    assert int(r2[0]) == res
+    clat, clon = cells.hex_cell_center_latlon(c)
+    again = cells.hex_cell_np(clat, clon, res)
+    assert int(again[0]) == int(c[0])
+    if res >= 2:
+        parent = cells.hex_parent_np(c)
+        pres, _, _ = cells.hex_cell_unpack(parent)
+        assert int(pres[0]) == res - 1
+        assert int(parent[0]) == int(cells.hex_cell_np(clat, clon, res - 1)[0])
