@@ -312,8 +312,13 @@ def hex_parent_np(cell_id) -> np.ndarray:
     rotation scheme). Deterministic, exactly one parent per cell, and a
     uniform field yields ~7 children per parent (the aperture) — so
     pyramid rollup groups are geometry-bounded. Vectorized for per-row
-    res (the axial math broadcasts over an array edge size)."""
+    res (the axial math broadcasts over an array edge size).
+
+    Raises on res-0 input: a res-0 cell has no parent, and silently
+    packing pres=-1 into the top bits would return a garbage id."""
     res, _q, _r = hex_cell_unpack(cell_id)
+    if np.any(res < 1):
+        raise ValueError("hex_parent_np: res-0 cells have no parent")
     lat, lon = hex_cell_center_latlon(cell_id)
     pres = (res - np.int64(1)).astype(np.int64)
     pq, pr = _hex_axial(lat, lon, pres)

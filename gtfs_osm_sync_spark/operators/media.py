@@ -253,7 +253,11 @@ def avi_info(data: bytes) -> tuple[float, int, int, int]:
             for cc2, ps2, sz2 in _walk_riff(data, ps + 4, ps + sz):
                 if cc2 == b"avih":
                     v = struct.unpack_from("<14I", data, ps2)
-                    fps = fps or 1_000_000 / v[0]
+                    # dwMicroSecPerFrame may legally be 0 (strh is then
+                    # the only rate source); `is None` not truthiness —
+                    # a real 0.0 fps must not read as unset
+                    if fps is None and v[0]:
+                        fps = 1_000_000 / v[0]
                     nf, w, h = v[4], v[8], v[9]
                 elif cc2 == b"LIST" and data[ps2 : ps2 + 4] == b"strl":
                     for cc3, ps3, _ in _walk_riff(data, ps2 + 4, ps2 + sz2):
@@ -261,9 +265,12 @@ def avi_info(data: bytes) -> tuple[float, int, int, int]:
                             _, _, _, _, _, scale, rate = struct.unpack_from(
                                 "<4s4s5I", data, ps3
                             )
-                            fps = rate / scale  # exact; avih's usec/frame is rounded
+                            if scale:
+                                fps = rate / scale  # exact; avih usec/frame is rounded
     if nf is None:
         raise ValueError("no avih header in AVI payload")
+    if fps is None:
+        raise ValueError("AVI payload carries no frame rate (avih and strh both zero)")
     return fps, nf, w, h
 
 
@@ -273,20 +280,34 @@ def decode_avi_frames(data: bytes, idxs: list[int]) -> list[np.ndarray]:
     scan); falls back to a sequential movi walk for index-less files."""
     from ..functions.codecs import png_decode
 
-    movi_pos, chunks = None, None
+    movi_pos, entries = None, None
     for fourcc, ps, sz in _avi_toplevel(data):
         if fourcc == b"LIST" and data[ps : ps + 4] == b"movi":
             movi_pos = ps  # offset of the 'movi' fourcc
             movi_end = ps + sz
         elif fourcc == b"idx1":
-            chunks = [
-                struct.unpack_from("<4sIII", data, ps + 16 * i)[2:]
+            entries = [
+                struct.unpack_from("<4sIII", data, ps + 16 * i)
                 for i in range(sz // 16)
             ]
     if movi_pos is None:
         raise ValueError("no movi list in AVI payload")
-    if chunks is not None:
-        locs = [(movi_pos + off + 8, size) for off, size in chunks]
+    if entries is not None:
+        # only video-frame entries index frames: a multi-stream file's
+        # idx1 interleaves audio ('01wb') and other ckids
+        chunks = [(off, size) for ckid, _fl, off, size in entries if ckid == b"00dc"]
+        # idx1 offsets are movi-relative by convention but some writers
+        # emit absolute file offsets; detect by checking which base makes
+        # the first entry's offset land on its own ckid
+        base = movi_pos
+        if chunks:
+            off0, _ = chunks[0]
+            if (
+                data[movi_pos + off0 : movi_pos + off0 + 4] != b"00dc"
+                and data[off0 : off0 + 4] == b"00dc"
+            ):
+                base = 0
+        locs = [(base + off + 8, size) for off, size in chunks]
     else:
         locs = [
             (ps, sz)

@@ -117,3 +117,20 @@ def test_vincenty_zero_and_symmetry():
     d1 = geo.vincenty_m_np(lat, lon, lat2, lon2)
     d2 = geo.vincenty_m_np(lat2, lon2, lat, lon)
     assert np.allclose(d1, d2, rtol=1e-9, atol=1e-6)
+
+
+def test_hex_parent_res0_raises():
+    """A res-0 cell has no parent: hex_parent_np must raise, not pack a
+    negative res into the id (ADVICE r5)."""
+    import numpy as np
+    import pytest
+
+    from gtfs_osm_sync_spark.functions import cells
+
+    c0 = cells.hex_cell_np(np.array([10.0]), np.array([20.0]), 0)
+    with pytest.raises(ValueError, match="res-0"):
+        cells.hex_parent_np(c0)
+    # mixed arrays fail too (any res-0 member poisons the batch)
+    c9 = cells.hex_cell_np(np.array([10.0]), np.array([20.0]), 9)
+    with pytest.raises(ValueError, match="res-0"):
+        cells.hex_parent_np(np.concatenate([c9, c0]))

@@ -255,3 +255,59 @@ def test_avi_shot_boundaries(spark):
             assert r["max_delta"] >= 74.0
         else:
             assert r["max_delta"] <= 2.01
+
+
+def test_avi_multistream_absolute_idx1():
+    """General-shell parsing (ADVICE r5): an idx1 that interleaves audio
+    ('01wb') entries and uses ABSOLUTE file offsets (both legal per the
+    AVI spec) must still seek the right video frames — entries are
+    filtered to '00dc' and the offset base is auto-detected."""
+    import struct
+
+    import numpy as np
+
+    frames = _avi_frames(n=4)
+    data = M.encode_avi(frames, 12.0)
+    # locate movi + the four '00dc' chunk positions (absolute)
+    tops, pos = {}, 12
+    while pos < len(data):
+        cc = data[pos : pos + 4]
+        (sz,) = struct.unpack_from("<I", data, pos + 4)
+        key = data[pos + 8 : pos + 12].decode() if cc == b"LIST" else cc.decode()
+        tops[key] = (pos + 8, sz)
+        pos += 8 + sz + (sz % 2)
+    mp, msz = tops["movi"]
+    dc, p = [], mp + 4
+    while p < mp + msz:
+        (csz,) = struct.unpack_from("<I", data, p + 4)
+        dc.append((p, csz))
+        p += 8 + csz + (csz % 2)
+    # rebuild idx1: absolute offsets + interleaved fake audio entries
+    body = b""
+    for chunk_pos, csz in dc:
+        body += struct.pack("<4sIII", b"01wb", 0, chunk_pos, 4)
+        body += struct.pack("<4sIII", b"00dc", 0x10, chunk_pos, csz)
+    cut = data.rfind(b"idx1")
+    rebuilt = data[8:cut] + b"idx1" + struct.pack("<I", len(body)) + body
+    rebuilt = b"RIFF" + struct.pack("<I", len(rebuilt)) + rebuilt
+    dec = M.decode_avi_frames(rebuilt, [0, 3])
+    assert np.array_equal(dec[0], frames[0]) and np.array_equal(dec[1], frames[3])
+
+
+def test_avi_info_fps_guards():
+    """avih dwMicroSecPerFrame == 0 must not divide by zero: fps falls
+    through to strh rate/scale; when strh scale is ALSO 0 the parser
+    raises instead of returning None/garbage (ADVICE r5)."""
+    import struct
+
+    import pytest
+
+    data = bytearray(M.encode_avi(_avi_frames(n=2), 10.0))
+    avih_at = bytes(data).find(b"avih") + 8
+    struct.pack_into("<I", data, avih_at, 0)  # dwMicroSecPerFrame = 0
+    fps, nf, w, h = M.avi_info(bytes(data))
+    assert (fps, nf, w, h) == (10.0, 2, 24, 16)  # strh rate/scale is exact
+    strh_at = bytes(data).find(b"strh") + 8
+    struct.pack_into("<I", data, strh_at + 20, 0)  # dwScale = 0
+    with pytest.raises(ValueError, match="frame rate"):
+        M.avi_info(bytes(data))

@@ -24,7 +24,12 @@ def test_generated_payloads_decode():
         # re-encode decoded pixels: for png exact; for lossy stand-in the
         # decode of an encode of a decode is stable (idempotent quantizer)
         if row["fmt"] == "jpeg":
-            orig = synth.pixels_for(int(np.uint64(row["phash"])), row["h"], row["w"])
+            # phash is a signed int64; mask to the unsigned value in pure
+            # Python (np.uint64(negative) is a NumPy deprecation -> future
+            # hard error)
+            orig = synth.pixels_for(
+                int(row["phash"]) & 0xFFFFFFFFFFFFFFFF, row["h"], row["w"]
+            )
             assert psnr(orig, img) >= 40.0
 
 

@@ -10,11 +10,14 @@ non-zero on any mismatch. Usage:
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import duckdb
 import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 TABLES = [
@@ -44,7 +47,7 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, REPO)
     import __spark_entry__ as entrymod
     from gtfs_osm_sync_spark.session import get_spark
 
@@ -113,12 +116,11 @@ def main() -> int:
     # trail for entries outside it
     if not only:
         import json
-        import os
         import subprocess
 
         build = subprocess.run(
             ["git", "rev-parse", "--short", "HEAD"],
-            capture_output=True, text=True, cwd="/root/repo",
+            capture_output=True, text=True, cwd=REPO,
         ).stdout.strip()
         rec = {
             "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
@@ -128,7 +130,14 @@ def main() -> int:
             "n_match": n_run - len(failures),
             "failures": failures,
         }
-        path = os.path.join("/root/repo", "BENCH", "oracle_local.json")
+        # per-SF records coexist: the default SF keeps the historical
+        # filename, other SFs get a sibling keyed by dir basename
+        base = os.path.basename(os.path.normpath(sf_dir))
+        fname = (
+            "oracle_local.json" if base == "sf0.01"
+            else f"oracle_local_{base}.json"
+        )
+        path = os.path.join(REPO, "BENCH", fname)
         with open(path, "w") as f:
             json.dump(rec, f, indent=1)
         print(f"recorded {path}")
