@@ -41,6 +41,10 @@ deliberate seam is:
   write_options in the manifest      table write properties (e.g.
     (bloom_filter_options)             write.parquet.bloom-filter-
                                        enabled.column.X)
+  tail_entry_count()                 manifest-list entries since the
+                                       last rewrite (maintenance metric)
+  maybe_compact(max_tail)            scheduled rewrite_data_files
+                                       maintenance trigger
 
 Partitioned layout + compaction (round 5): a table opened with
 `partition_by="cell_part"` writes every append hive-partitioned by that
@@ -287,6 +291,36 @@ class SnapTable:
             rel = os.path.join("data", token)
         return self._commit([rel], checkpoint, "compact", base_files=[rel])
 
+    def tail_entry_count(self) -> int:
+        """Manifest entries (flat files or partitioned append trees)
+        accumulated since the last compaction base — the driver of
+        read-plan cost: a partitioned table unions ONE scan per tree
+        (see _read_paths), a flat table adds one footer per file."""
+        s = self.snapshot()
+        if s is None:
+            return 0
+        base = set(s.base_files or [])
+        return sum(1 for f in s.files if f not in base)
+
+    def maybe_compact(
+        self,
+        spark: SparkSession,
+        max_tail: int = 64,
+        reducer=None,
+        checkpoint: dict | None = None,
+    ) -> int | None:
+        """Compaction cadence: compact() once the tail since the last
+        base exceeds `max_tail` manifest entries, else no-op (returns
+        None). This is the documented read-cost contract for append-heavy
+        tables (streaming logs): a long-running appender that calls this
+        after each commit keeps read()'s plan O(max_tail) in append count
+        instead of linear since table creation. Amortized write cost is
+        O(table/max_tail) per append. Iceberg equivalent: a scheduled
+        rewrite_data_files maintenance job."""
+        if self.tail_entry_count() <= max_tail:
+            return None
+        return self.compact(spark, reducer=reducer, checkpoint=checkpoint)
+
     def rollback(self, version: int) -> int:
         """Roll the table back to `version` (new snapshot, old file list) —
         the engine's changeset-revert (reference RevertChangeset.java:47-78)."""
@@ -311,8 +345,13 @@ class SnapTable:
         if not self.partition_by or len(paths) == 1:
             return rd.parquet(*paths)
         # each partitioned append is its own hive root: Spark requires
-        # one root per read (KD009), so read per-root and union — a
-        # partition-column filter still prunes every scan independently
+        # one root per read (a single basePath scan rejects the
+        # non-key=value token segment with CONFLICTING_DIRECTORY_
+        # STRUCTURES), so read per-root and union — a partition-column
+        # filter still prunes every scan independently. The union chain
+        # grows one scan per append since the last compaction, so
+        # long-running appenders MUST hold the maybe_compact() cadence
+        # contract to keep this plan bounded (ADVICE r5).
         out = rd.parquet(paths[0])
         for p in paths[1:]:
             out = out.unionByName(rd.parquet(p), allowMissingColumns=True)

@@ -241,13 +241,22 @@ def stream_curate_images(
     max_hamming: int = 3,
     n_shards: int = 16,
     probe_pushdown_limit: int = 8192,
+    compact_max_tail: int | None = 64,
 ):
     """Start (and with trigger_once, drain) the incremental curation
     stream. Tables under root: curated/, bands/, folds/ (SnapTables).
 
     checkpoint_dir is REQUIRED (same data-loss rationale as
     streaming/ingest.py: batch ids are only durable with a streaming
-    checkpoint, and the effectively-once skip keys on them)."""
+    checkpoint, and the effectively-once skip keys on them).
+
+    compact_max_tail: the SnapTable.maybe_compact cadence applied to all
+    three tables after each batch's appends — without it the bands log
+    (re-read every micro-batch as the cross-batch probe index) grows one
+    manifest entry per batch forever, degrading footer/plan cost even
+    though the probe itself stays bloom/In-bounded (VERDICT r5 #3).
+    Compaction goes through SnapTable._writer, so the band_val bloom
+    filter write options hold across rewrites. None disables."""
     if not checkpoint_dir:
         raise ValueError(
             "checkpoint_dir is required: without a durable streaming "
@@ -295,6 +304,11 @@ def stream_curate_images(
             )
         if not done_folds:
             folds_t.append(folds.withColumn("batch_id", F.lit(bid)), checkpoint=cp)
+        if compact_max_tail is not None:
+            # after the ledgered appends: compaction is content-preserving,
+            # so a crash anywhere around it replays exactly as before
+            for t in (curated_t, bands_t, folds_t):
+                t.maybe_compact(spark, max_tail=compact_max_tail)
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:

@@ -200,6 +200,8 @@ def test_snaptable_iceberg_seam_contract():
         "current_version",
         "processed_chunks",    # snapshot summary properties
         "checkpoint_metrics",  # snapshot summary properties
+        "tail_entry_count",    # manifest-list entry count since rewrite
+        "maybe_compact",       # scheduled rewrite_data_files maintenance
     }
     public = {
         n for n, m in inspect.getmembers(ST.SnapTable, inspect.isfunction)
@@ -214,3 +216,27 @@ def test_snaptable_iceberg_seam_contract():
     for word in ("rewrite_data_files", "metadata.json", "rollback_to_snapshot",
                  "VERSION AS OF", "remove_orphan_files", "manifest"):
         assert word in doc, f"Iceberg mapping lost from docstring: {word}"
+
+
+def test_maybe_compact_cadence(spark, tmp_path):
+    """maybe_compact is the bounded-read-cost contract (ADVICE r5): it
+    no-ops under the threshold, compacts past it, and afterwards the
+    tail restarts at zero with content unchanged — on a PARTITIONED
+    table the read() union chain (one scan per append tree) is thereby
+    kept O(max_tail)."""
+    from gtfs_osm_sync_spark.sources.snaptable import SnapTable
+
+    t = SnapTable(str(tmp_path / "t"), partition_by="p")
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr("id", "id % 3 as p")
+    for i in range(4):
+        t.append(mk(i * 10, i * 10 + 10))
+    assert t.tail_entry_count() == 4
+    assert t.maybe_compact(spark, max_tail=8) is None  # under threshold
+    assert t.tail_entry_count() == 4
+    v = t.maybe_compact(spark, max_tail=3)
+    assert v is not None and t.tail_entry_count() == 0
+    rows = sorted(r["id"] for r in t.read(spark).collect())
+    assert rows == list(range(40))
+    # subsequent appends count from the new base
+    t.append(mk(40, 50))
+    assert t.tail_entry_count() == 1
