@@ -1315,11 +1315,16 @@ def _sf_n(sf_dir: str, per_unit: int = 200_000, lo: int = 2_000) -> int:
 # ---------------------------------------------------------------------------
 # g-queries: engine-native ops with no ANSI-SQL formulation. Where the
 # output is a SMALL deterministic aggregate (histograms, parity counters)
-# the oracle is a literal-VALUES table pinned at the driver gate's
-# sf=0.01 scale — computed once from the engine, verified identical under
-# different core counts / shuffle-partition settings, and brute-force- or
-# golden-verified in pytest (numpy Vincenty, HART fixture, pixel
-# equality). The literal does not independently re-derive semantics (the
+# the oracle is a literal-VALUES table pinned PER SCALE (round 6): each
+# VALUES row leads with an `sf_key` column — the `orders` row count,
+# unique per testdata SF (1500 / 15,000 / 150,000) and visible to the
+# DuckDB side — and the oracle filters to the current scale's rows, so
+# one string grades sf0.001/sf0.01/sf0.1 alike. Values are computed once
+# from the engine via tools/pin_oracle_literals.py, verified identical
+# under different core counts / shuffle-partition settings (two-capture
+# diff) and brute-force- or golden-verified in pytest (numpy Vincenty,
+# HART fixture, pixel equality); tools/gen_scaled_oracles.py bakes them
+# in. The literal does not independently re-derive semantics (the
 # pytest oracles do); it makes ANY later drift in these operators flip
 # the driver's value-hash. Large-row-set outputs digest to per-group
 # checksums first (g02's ranked pair set -> per-rank key/distance sums);
@@ -1332,9 +1337,22 @@ def _sf_n(sf_dir: str, per_unit: int = 200_000, lo: int = 2_000) -> int:
 @register(
     "g01_images_assign_categories",
     """
-    SELECT category, CAST(n AS BIGINT) AS n FROM (VALUES
-      ('MODIFY', 6), ('NOTHING_NEW', 14), ('UPLOAD_CONFLICT', 59),
-      ('UPLOAD_NO_CONFLICT', 1921)) AS t(category, n) ORDER BY category
+        SELECT category, CAST(n AS BIGINT) AS n FROM (VALUES
+      (1500, 'MODIFY', 6),
+      (1500, 'NOTHING_NEW', 14),
+      (1500, 'UPLOAD_CONFLICT', 59),
+      (1500, 'UPLOAD_NO_CONFLICT', 1921),
+      (15000, 'MODIFY', 6),
+      (15000, 'NOTHING_NEW', 14),
+      (15000, 'UPLOAD_CONFLICT', 59),
+      (15000, 'UPLOAD_NO_CONFLICT', 1921),
+      (150000, 'MODIFY', 66),
+      (150000, 'NOTHING_NEW', 134),
+      (150000, 'UPLOAD_CONFLICT', 4769),
+      (150000, 'UPLOAD_NO_CONFLICT', 15031))
+      AS t(sf_key, category, n)
+    WHERE sf_key = (SELECT count(*) FROM orders)
+    ORDER BY category
     """,
 )
 def g01(spark, sf_dir):
@@ -1353,13 +1371,20 @@ def g01(spark, sf_dir):
 @register(
     "g02_vincenty_knn",
     """
-    SELECT rank_k, CAST(n_pairs AS BIGINT) AS n_pairs,
+        SELECT rank_k, CAST(n_pairs AS BIGINT) AS n_pairs,
            CAST(cust_sum AS BIGINT) AS cust_sum,
            CAST(supp_sum AS BIGINT) AS supp_sum,
            CAST(dm_sum AS BIGINT) AS dm_sum FROM (VALUES
-      (1, 412, 301330, 20322, 36362584),
-      (2, 2, 1520, 48, 377121)
-    ) AS t(rank_k, n_pairs, cust_sum, supp_sum, dm_sum) ORDER BY rank_k
+      (1500, 1, 10, 45, 45, 0),
+      (15000, 1, 412, 301330, 20322, 36362584),
+      (15000, 2, 2, 1520, 48, 377121),
+      (150000, 1, 10006, 73243515, 5258651, 1116293953),
+      (150000, 2, 7450, 51074591, 3581583, 1073030700),
+      (150000, 3, 2732, 19585033, 1395593, 460069976),
+      (150000, 4, 219, 1666608, 117712, 41067300))
+      AS t(sf_key, rank_k, n_pairs, cust_sum, supp_sum, dm_sum)
+    WHERE sf_key = (SELECT count(*) FROM orders)
+    ORDER BY rank_k
     """,
 )
 def g02(spark, sf_dir):
@@ -1402,10 +1427,36 @@ def g02(spark, sf_dir):
 @register(
     "g03_cell_index",
     """
-    SELECT CAST(n_images AS BIGINT) AS n_images, CAST(n_cells AS BIGINT) AS n_cells,
+        SELECT CAST(n_images AS BIGINT) AS n_images, CAST(n_cells AS BIGINT) AS n_cells,
            CAST(s2_cells AS BIGINT) AS s2_cells FROM (VALUES
-      (1, 1579, 1579), (2, 165, 249), (3, 26, 53), (4, 2, 6), (5, 1, 2))
-      AS t(n_images, n_cells, s2_cells) ORDER BY n_images
+      (1500, 1, 1579, 1579),
+      (1500, 2, 165, 249),
+      (1500, 3, 26, 53),
+      (1500, 4, 2, 6),
+      (1500, 5, 1, 2),
+      (15000, 1, 1579, 1579),
+      (15000, 2, 165, 249),
+      (15000, 3, 26, 53),
+      (15000, 4, 2, 6),
+      (15000, 5, 1, 2),
+      (150000, 1, 8937, 8937),
+      (150000, 2, 167, 245),
+      (150000, 3, 258, 470),
+      (150000, 4, 320, 668),
+      (150000, 5, 322, 721),
+      (150000, 6, 345, 822),
+      (150000, 7, 261, 665),
+      (150000, 8, 162, 446),
+      (150000, 9, 87, 237),
+      (150000, 10, 58, 159),
+      (150000, 11, 23, 61),
+      (150000, 12, 11, 32),
+      (150000, 13, 5, 14),
+      (150000, 14, 1, 2),
+      (150000, 15, 3, 9))
+      AS t(sf_key, n_images, n_cells, s2_cells)
+    WHERE sf_key = (SELECT count(*) FROM orders)
+    ORDER BY n_images
     """,
 )
 def g03(spark, sf_dir):
@@ -1428,10 +1479,20 @@ def g03(spark, sf_dir):
 @register(
     "g04_mosaic",
     """
-    SELECT CAST(grid AS INT) AS grid, CAST(n_cells AS BIGINT) AS n_cells,
+        SELECT CAST(grid AS INT) AS grid, CAST(n_cells AS BIGINT) AS n_cells,
            CAST(n_images AS BIGINT) AS n_images, CAST(max_w AS INT) AS max_w FROM (VALUES
-      (1, 1579, 1579, 32), (2, 193, 416, 64), (3, 1, 5, 96))
-      AS t(grid, n_cells, n_images, max_w) ORDER BY grid
+      (1500, 1, 1579, 1579, 32),
+      (1500, 2, 193, 416, 64),
+      (1500, 3, 1, 5, 96),
+      (15000, 1, 1579, 1579, 32),
+      (15000, 2, 193, 416, 64),
+      (15000, 3, 1, 5, 96),
+      (150000, 1, 2552, 2552, 32),
+      (150000, 2, 581, 1382, 64),
+      (150000, 3, 13, 66, 96))
+      AS t(sf_key, grid, n_cells, n_images, max_w)
+    WHERE sf_key = (SELECT count(*) FROM orders)
+    ORDER BY grid
     """,
 )
 def g04(spark, sf_dir):
@@ -1453,69 +1514,199 @@ def g04(spark, sf_dir):
 @register(
     "g05_pip_wkb",
     """
-    SELECT poly_id, CAST(n_inside AS BIGINT) AS n_inside FROM (VALUES
-      ('poly0000', 141),
-      ('poly0001', 1),
-      ('poly0002', 3),
-      ('poly0003', 3),
-      ('poly0004', 3),
-      ('poly0005', 3),
-      ('poly0006', 6),
-      ('poly0007', 2),
-      ('poly0008', 132),
-      ('poly0009', 5),
-      ('poly0012', 3),
-      ('poly0013', 3),
-      ('poly0014', 7),
-      ('poly0015', 5),
-      ('poly0016', 125),
-      ('poly0017', 7),
-      ('poly0018', 1),
-      ('poly0019', 7),
-      ('poly0020', 5),
-      ('poly0021', 5),
-      ('poly0022', 6),
-      ('poly0023', 4),
-      ('poly0024', 129),
-      ('poly0025', 3),
-      ('poly0026', 6),
-      ('poly0027', 2),
-      ('poly0028', 2),
-      ('poly0029', 2),
-      ('poly0030', 3),
-      ('poly0031', 8),
-      ('poly0032', 140),
-      ('poly0033', 3),
-      ('poly0034', 1),
-      ('poly0035', 3),
-      ('poly0036', 1),
-      ('poly0037', 6),
-      ('poly0038', 5),
-      ('poly0039', 5),
-      ('poly0040', 155),
-      ('poly0041', 4),
-      ('poly0042', 1),
-      ('poly0043', 1),
-      ('poly0044', 5),
-      ('poly0045', 6),
-      ('poly0046', 3),
-      ('poly0047', 5),
-      ('poly0048', 141),
-      ('poly0049', 6),
-      ('poly0050', 4),
-      ('poly0052', 4),
-      ('poly0053', 5),
-      ('poly0054', 5),
-      ('poly0055', 3),
-      ('poly0056', 148),
-      ('poly0057', 4),
-      ('poly0058', 2),
-      ('poly0059', 2),
-      ('poly0060', 2),
-      ('poly0061', 1),
-      ('poly0062', 1),
-      ('poly0063', 4),
-      ('poly_band', 408)) AS t(poly_id, n_inside) ORDER BY poly_id
+        SELECT poly_id, CAST(n_inside AS BIGINT) AS n_inside FROM (VALUES
+      (1500, 'poly0000', 141),
+      (1500, 'poly0001', 1),
+      (1500, 'poly0002', 3),
+      (1500, 'poly0003', 3),
+      (1500, 'poly0004', 3),
+      (1500, 'poly0005', 3),
+      (1500, 'poly0006', 6),
+      (1500, 'poly0007', 2),
+      (1500, 'poly0008', 132),
+      (1500, 'poly0009', 5),
+      (1500, 'poly0012', 3),
+      (1500, 'poly0013', 3),
+      (1500, 'poly0014', 7),
+      (1500, 'poly0015', 5),
+      (1500, 'poly0016', 125),
+      (1500, 'poly0017', 7),
+      (1500, 'poly0018', 1),
+      (1500, 'poly0019', 7),
+      (1500, 'poly0020', 5),
+      (1500, 'poly0021', 5),
+      (1500, 'poly0022', 6),
+      (1500, 'poly0023', 4),
+      (1500, 'poly0024', 129),
+      (1500, 'poly0025', 3),
+      (1500, 'poly0026', 6),
+      (1500, 'poly0027', 2),
+      (1500, 'poly0028', 2),
+      (1500, 'poly0029', 2),
+      (1500, 'poly0030', 3),
+      (1500, 'poly0031', 8),
+      (1500, 'poly0032', 140),
+      (1500, 'poly0033', 3),
+      (1500, 'poly0034', 1),
+      (1500, 'poly0035', 3),
+      (1500, 'poly0036', 1),
+      (1500, 'poly0037', 6),
+      (1500, 'poly0038', 5),
+      (1500, 'poly0039', 5),
+      (1500, 'poly0040', 155),
+      (1500, 'poly0041', 4),
+      (1500, 'poly0042', 1),
+      (1500, 'poly0043', 1),
+      (1500, 'poly0044', 5),
+      (1500, 'poly0045', 6),
+      (1500, 'poly0046', 3),
+      (1500, 'poly0047', 5),
+      (1500, 'poly0048', 141),
+      (1500, 'poly0049', 6),
+      (1500, 'poly0050', 4),
+      (1500, 'poly0052', 4),
+      (1500, 'poly0053', 5),
+      (1500, 'poly0054', 5),
+      (1500, 'poly0055', 3),
+      (1500, 'poly0056', 148),
+      (1500, 'poly0057', 4),
+      (1500, 'poly0058', 2),
+      (1500, 'poly0059', 2),
+      (1500, 'poly0060', 2),
+      (1500, 'poly0061', 1),
+      (1500, 'poly0062', 1),
+      (1500, 'poly0063', 4),
+      (1500, 'poly_band', 408),
+      (15000, 'poly0000', 141),
+      (15000, 'poly0001', 1),
+      (15000, 'poly0002', 3),
+      (15000, 'poly0003', 3),
+      (15000, 'poly0004', 3),
+      (15000, 'poly0005', 3),
+      (15000, 'poly0006', 6),
+      (15000, 'poly0007', 2),
+      (15000, 'poly0008', 132),
+      (15000, 'poly0009', 5),
+      (15000, 'poly0012', 3),
+      (15000, 'poly0013', 3),
+      (15000, 'poly0014', 7),
+      (15000, 'poly0015', 5),
+      (15000, 'poly0016', 125),
+      (15000, 'poly0017', 7),
+      (15000, 'poly0018', 1),
+      (15000, 'poly0019', 7),
+      (15000, 'poly0020', 5),
+      (15000, 'poly0021', 5),
+      (15000, 'poly0022', 6),
+      (15000, 'poly0023', 4),
+      (15000, 'poly0024', 129),
+      (15000, 'poly0025', 3),
+      (15000, 'poly0026', 6),
+      (15000, 'poly0027', 2),
+      (15000, 'poly0028', 2),
+      (15000, 'poly0029', 2),
+      (15000, 'poly0030', 3),
+      (15000, 'poly0031', 8),
+      (15000, 'poly0032', 140),
+      (15000, 'poly0033', 3),
+      (15000, 'poly0034', 1),
+      (15000, 'poly0035', 3),
+      (15000, 'poly0036', 1),
+      (15000, 'poly0037', 6),
+      (15000, 'poly0038', 5),
+      (15000, 'poly0039', 5),
+      (15000, 'poly0040', 155),
+      (15000, 'poly0041', 4),
+      (15000, 'poly0042', 1),
+      (15000, 'poly0043', 1),
+      (15000, 'poly0044', 5),
+      (15000, 'poly0045', 6),
+      (15000, 'poly0046', 3),
+      (15000, 'poly0047', 5),
+      (15000, 'poly0048', 141),
+      (15000, 'poly0049', 6),
+      (15000, 'poly0050', 4),
+      (15000, 'poly0052', 4),
+      (15000, 'poly0053', 5),
+      (15000, 'poly0054', 5),
+      (15000, 'poly0055', 3),
+      (15000, 'poly0056', 148),
+      (15000, 'poly0057', 4),
+      (15000, 'poly0058', 2),
+      (15000, 'poly0059', 2),
+      (15000, 'poly0060', 2),
+      (15000, 'poly0061', 1),
+      (15000, 'poly0062', 1),
+      (15000, 'poly0063', 4),
+      (15000, 'poly_band', 408),
+      (150000, 'poly0000', 1368),
+      (150000, 'poly0001', 32),
+      (150000, 'poly0002', 44),
+      (150000, 'poly0003', 37),
+      (150000, 'poly0004', 33),
+      (150000, 'poly0005', 29),
+      (150000, 'poly0006', 45),
+      (150000, 'poly0007', 16),
+      (150000, 'poly0008', 1365),
+      (150000, 'poly0009', 33),
+      (150000, 'poly0010', 27),
+      (150000, 'poly0011', 19),
+      (150000, 'poly0012', 35),
+      (150000, 'poly0013', 30),
+      (150000, 'poly0014', 21),
+      (150000, 'poly0015', 25),
+      (150000, 'poly0016', 1366),
+      (150000, 'poly0017', 35),
+      (150000, 'poly0018', 33),
+      (150000, 'poly0019', 39),
+      (150000, 'poly0020', 31),
+      (150000, 'poly0021', 33),
+      (150000, 'poly0022', 33),
+      (150000, 'poly0023', 37),
+      (150000, 'poly0024', 1408),
+      (150000, 'poly0025', 22),
+      (150000, 'poly0026', 36),
+      (150000, 'poly0027', 34),
+      (150000, 'poly0028', 41),
+      (150000, 'poly0029', 28),
+      (150000, 'poly0030', 22),
+      (150000, 'poly0031', 40),
+      (150000, 'poly0032', 1446),
+      (150000, 'poly0033', 32),
+      (150000, 'poly0034', 29),
+      (150000, 'poly0035', 50),
+      (150000, 'poly0036', 31),
+      (150000, 'poly0037', 42),
+      (150000, 'poly0038', 36),
+      (150000, 'poly0039', 33),
+      (150000, 'poly0040', 1415),
+      (150000, 'poly0041', 38),
+      (150000, 'poly0042', 24),
+      (150000, 'poly0043', 27),
+      (150000, 'poly0044', 34),
+      (150000, 'poly0045', 31),
+      (150000, 'poly0046', 29),
+      (150000, 'poly0047', 45),
+      (150000, 'poly0048', 1411),
+      (150000, 'poly0049', 46),
+      (150000, 'poly0050', 20),
+      (150000, 'poly0051', 24),
+      (150000, 'poly0052', 37),
+      (150000, 'poly0053', 32),
+      (150000, 'poly0054', 38),
+      (150000, 'poly0055', 40),
+      (150000, 'poly0056', 1412),
+      (150000, 'poly0057', 31),
+      (150000, 'poly0058', 37),
+      (150000, 'poly0059', 25),
+      (150000, 'poly0060', 37),
+      (150000, 'poly0061', 22),
+      (150000, 'poly0062', 31),
+      (150000, 'poly0063', 32),
+      (150000, 'poly_band', 3840))
+      AS t(sf_key, poly_id, n_inside)
+    WHERE sf_key = (SELECT count(*) FROM orders)
+    ORDER BY poly_id
     """,
 )
 def g05(spark, sf_dir):
@@ -1535,11 +1726,14 @@ def g05(spark, sf_dir):
 @register(
     "g06_lsh_ann_recall",
     """
-    SELECT CAST(n_exact AS BIGINT) AS n_exact, CAST(n_hit AS BIGINT) AS n_hit,
+        SELECT CAST(n_exact AS BIGINT) AS n_exact, CAST(n_hit AS BIGINT) AS n_hit,
            CAST(recall_at_5 AS DOUBLE) AS recall_at_5,
-           CAST(passes_floor AS BOOLEAN) AS passes_floor
-    FROM (VALUES (100, 16, 0.16, TRUE))
-      AS t(n_exact, n_hit, recall_at_5, passes_floor)
+           CAST(passes_floor AS BOOLEAN) AS passes_floor FROM (VALUES
+      (1500, 100, 21, 0.21, TRUE),
+      (15000, 100, 16, 0.16, TRUE),
+      (150000, 400, 58, 0.145, TRUE))
+      AS t(sf_key, n_exact, n_hit, recall_at_5, passes_floor)
+    WHERE sf_key = (SELECT count(*) FROM orders)
     """,
 )
 def g06(spark, sf_dir):
@@ -1751,13 +1945,21 @@ def q24(spark, sf_dir):
 @register(
     "g07_ivf_ann_recall",
     """
-    SELECT CAST(nprobe AS INT) AS nprobe, CAST(n_exact AS BIGINT) AS n_exact,
+        SELECT CAST(nprobe AS INT) AS nprobe, CAST(n_exact AS BIGINT) AS n_exact,
            CAST(n_hit AS BIGINT) AS n_hit,
            CAST(recall_at_5 AS DOUBLE) AS recall_at_5,
-           CAST(passes_floor AS BOOLEAN) AS passes_floor
-    FROM (VALUES (1, 100, 25, 0.25, TRUE), (4, 100, 69, 0.69, TRUE),
-                 (8, 100, 100, 1.0, TRUE))
-      AS t(nprobe, n_exact, n_hit, recall_at_5, passes_floor)
+           CAST(passes_floor AS BOOLEAN) AS passes_floor FROM (VALUES
+      (1500, 1, 100, 35, 0.35, TRUE),
+      (1500, 4, 100, 72, 0.72, TRUE),
+      (1500, 8, 100, 100, 1.0, TRUE),
+      (15000, 1, 100, 25, 0.25, TRUE),
+      (15000, 4, 100, 69, 0.69, TRUE),
+      (15000, 8, 100, 100, 1.0, TRUE),
+      (150000, 1, 400, 98, 0.245, TRUE),
+      (150000, 4, 400, 286, 0.715, TRUE),
+      (150000, 8, 400, 400, 1.0, TRUE))
+      AS t(sf_key, nprobe, n_exact, n_hit, recall_at_5, passes_floor)
+    WHERE sf_key = (SELECT count(*) FROM orders)
     ORDER BY nprobe
     """,
 )
@@ -2151,12 +2353,22 @@ def d10(spark, sf_dir):
 @register(
     "g09_compare_world",
     """
-    SELECT category, CAST(n_stops AS BIGINT) AS n_stops FROM (VALUES
-      ('MODIFY', 800),
-      ('NOTHING_NEW', 400),
-      ('UPLOAD_CONFLICT', 500),
-      ('UPLOAD_NO_CONFLICT', 300)
-    ) AS t(category, n_stops) ORDER BY category
+        SELECT category, CAST(n_stops AS BIGINT) AS n_stops FROM (VALUES
+      (1500, 'MODIFY', 800),
+      (1500, 'NOTHING_NEW', 400),
+      (1500, 'UPLOAD_CONFLICT', 500),
+      (1500, 'UPLOAD_NO_CONFLICT', 300),
+      (15000, 'MODIFY', 800),
+      (15000, 'NOTHING_NEW', 400),
+      (15000, 'UPLOAD_CONFLICT', 500),
+      (15000, 'UPLOAD_NO_CONFLICT', 300),
+      (150000, 'MODIFY', 8000),
+      (150000, 'NOTHING_NEW', 4000),
+      (150000, 'UPLOAD_CONFLICT', 6248),
+      (150000, 'UPLOAD_NO_CONFLICT', 1752))
+      AS t(sf_key, category, n_stops)
+    WHERE sf_key = (SELECT count(*) FROM orders)
+    ORDER BY category
     """,
 )
 def g09(spark, sf_dir):
@@ -2185,16 +2397,32 @@ def g09(spark, sf_dir):
 @register(
     "g10_node_modifies",
     """
-    SELECT version, CAST(n_nodes AS BIGINT) AS n_nodes,
+        SELECT version, CAST(n_nodes AS BIGINT) AS n_nodes,
            CAST(id_sum AS BIGINT) AS id_sum FROM (VALUES
-      ('1', 57, 56658),
-      ('2', 57, 57513),
-      ('3', 57, 56373),
-      ('4', 57, 57228),
-      ('5', 58, 58087),
-      ('6', 57, 56943),
-      ('7', 57, 57798)
-    ) AS t(version, n_nodes, id_sum) ORDER BY version
+      (1500, '1', 57, 56658),
+      (1500, '2', 57, 57513),
+      (1500, '3', 57, 56373),
+      (1500, '4', 57, 57228),
+      (1500, '5', 58, 58087),
+      (1500, '6', 57, 56943),
+      (1500, '7', 57, 57798),
+      (15000, '1', 57, 56658),
+      (15000, '2', 57, 57513),
+      (15000, '3', 57, 56373),
+      (15000, '4', 57, 57228),
+      (15000, '5', 58, 58087),
+      (15000, '6', 57, 56943),
+      (15000, '7', 57, 57798),
+      (150000, '1', 572, 5723718),
+      (150000, '2', 571, 5712284),
+      (150000, '3', 572, 5720858),
+      (150000, '4', 571, 5709429),
+      (150000, '5', 572, 5717998),
+      (150000, '6', 571, 5706574),
+      (150000, '7', 571, 5715139))
+      AS t(sf_key, version, n_nodes, id_sum)
+    WHERE sf_key = (SELECT count(*) FROM orders)
+    ORDER BY version
     """,
 )
 def g10(spark, sf_dir):
@@ -2227,10 +2455,16 @@ def g10(spark, sf_dir):
 @register(
     "g13_video_shot_cuts",
     """
-    SELECT CAST(has_cut AS BOOLEAN) AS has_cut, CAST(n_clips AS BIGINT) AS n_clips,
-           CAST(id_sum AS BIGINT) AS id_sum, CAST(frames_sum AS BIGINT) AS frames_sum
-    FROM (VALUES (FALSE, 300, 60000, 2400), (TRUE, 100, 19800, 800))
-      AS t(has_cut, n_clips, id_sum, frames_sum)
+        SELECT CAST(has_cut AS BOOLEAN) AS has_cut, CAST(n_clips AS BIGINT) AS n_clips,
+           CAST(id_sum AS BIGINT) AS id_sum, CAST(frames_sum AS BIGINT) AS frames_sum FROM (VALUES
+      (1500, FALSE, 300, 60000, 2400),
+      (1500, TRUE, 100, 19800, 800),
+      (15000, FALSE, 300, 60000, 2400),
+      (15000, TRUE, 100, 19800, 800),
+      (150000, FALSE, 3000, 6000000, 24000),
+      (150000, TRUE, 1000, 1998000, 8000))
+      AS t(sf_key, has_cut, n_clips, id_sum, frames_sum)
+    WHERE sf_key = (SELECT count(*) FROM orders)
     ORDER BY has_cut
     """,
 )
@@ -2268,10 +2502,13 @@ def g13(spark, sf_dir):
 @register(
     "g16_tile_fetch",
     """
-    SELECT CAST(n_tiles AS BIGINT) AS n_tiles, CAST(cell_xor AS BIGINT) AS cell_xor,
-           CAST(images_sum AS BIGINT) AS images_sum, CAST(px_sum AS BIGINT) AS px_sum
-    FROM (VALUES (12, 110595408119, 12, 2439353))
-      AS t(n_tiles, cell_xor, images_sum, px_sum)
+        SELECT CAST(n_tiles AS BIGINT) AS n_tiles, CAST(cell_xor AS BIGINT) AS cell_xor,
+           CAST(images_sum AS BIGINT) AS images_sum, CAST(px_sum AS BIGINT) AS px_sum FROM (VALUES
+      (1500, 12, 110595408119, 12, 2439353),
+      (15000, 12, 110595408119, 12, 2439353),
+      (150000, 26, 19327352964, 26, 4274159))
+      AS t(sf_key, n_tiles, cell_xor, images_sum, px_sum)
+    WHERE sf_key = (SELECT count(*) FROM orders)
     """,
 )
 def g16(spark, sf_dir):
@@ -2313,14 +2550,21 @@ def g16(spark, sf_dir):
 @register(
     "g14_mosaic_pyramid",
     """
-    SELECT CAST(res AS INT) AS res, CAST(n_tiles AS BIGINT) AS n_tiles,
+        SELECT CAST(res AS INT) AS res, CAST(n_tiles AS BIGINT) AS n_tiles,
            CAST(children_sum AS BIGINT) AS children_sum,
            CAST(images_sum AS BIGINT) AS images_sum,
-           CAST(max_w AS INT) AS max_w, CAST(px_sum AS BIGINT) AS px_sum
-    FROM (VALUES (7, 969, 1224, 2000, 96, 173144296),
-                 (8, 1224, 1773, 2000, 96, 259305588),
-                 (9, 1773, 2000, 2000, 96, 309072322))
-      AS t(res, n_tiles, children_sum, images_sum, max_w, px_sum)
+           CAST(max_w AS INT) AS max_w, CAST(px_sum AS BIGINT) AS px_sum FROM (VALUES
+      (1500, 7, 969, 1224, 2000, 96, 173144296),
+      (1500, 8, 1224, 1773, 2000, 96, 259305588),
+      (1500, 9, 1773, 2000, 2000, 96, 309072322),
+      (15000, 7, 969, 1224, 2000, 96, 173144296),
+      (15000, 8, 1224, 1773, 2000, 96, 259305588),
+      (15000, 9, 1773, 2000, 2000, 96, 309072322),
+      (150000, 7, 1830, 2119, 4000, 96, 308315344),
+      (150000, 8, 2119, 3146, 4000, 96, 453601360),
+      (150000, 9, 3146, 4000, 4000, 96, 620315946))
+      AS t(sf_key, res, n_tiles, children_sum, images_sum, max_w, px_sum)
+    WHERE sf_key = (SELECT count(*) FROM orders)
     ORDER BY res
     """,
 )
@@ -2358,13 +2602,18 @@ def g14(spark, sf_dir):
 @register(
     "g12_audio_wav_stats",
     """
-    SELECT CAST(clipped AS BOOLEAN) AS clipped, CAST(n_clips AS BIGINT) AS n_clips,
+        SELECT CAST(clipped AS BOOLEAN) AS clipped, CAST(n_clips AS BIGINT) AS n_clips,
            CAST(dur_sum AS DOUBLE) AS dur_sum, CAST(rms_sum AS DOUBLE) AS rms_sum,
            CAST(peak_sum AS DOUBLE) AS peak_sum, CAST(zc_sum AS BIGINT) AS zc_sum,
-           CAST(clip_sum AS DOUBLE) AS clip_sum
-    FROM (VALUES (FALSE, 320, 220.0, 164.04, 231.997, 217995, 0.0),
-                 (TRUE, 80, 54.813, 60.247, 79.998, 54003, 23.0988))
-      AS t(clipped, n_clips, dur_sum, rms_sum, peak_sum, zc_sum, clip_sum)
+           CAST(clip_sum AS DOUBLE) AS clip_sum FROM (VALUES
+      (1500, FALSE, 320, 220.0, 164.04, 231.997, 217995, 0.0),
+      (1500, TRUE, 80, 54.813, 60.247, 79.998, 54003, 23.0988),
+      (15000, FALSE, 320, 220.0, 164.04, 231.997, 217995, 0.0),
+      (15000, TRUE, 80, 54.813, 60.247, 79.998, 54003, 23.0988),
+      (150000, FALSE, 3200, 2199.625, 1640.398, 2319.971, 2175144, 0.0),
+      (150000, TRUE, 800, 550.0, 602.466, 799.975, 544009, 230.9878))
+      AS t(sf_key, clipped, n_clips, dur_sum, rms_sum, peak_sum, zc_sum, clip_sum)
+    WHERE sf_key = (SELECT count(*) FROM orders)
     ORDER BY clipped
     """,
 )
@@ -2401,9 +2650,13 @@ def g12(spark, sf_dir):
 @register(
     "g11_phash_near_dup",
     """
-    SELECT CAST(hamming AS INT) AS hamming, CAST(n_pairs AS BIGINT) AS n_pairs,
-           CAST(id_sum AS BIGINT) AS id_sum
-    FROM (VALUES (2, 200, 398000)) AS t(hamming, n_pairs, id_sum)
+        SELECT CAST(hamming AS INT) AS hamming, CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(id_sum AS BIGINT) AS id_sum FROM (VALUES
+      (1500, 2, 200, 398000),
+      (15000, 2, 200, 398000),
+      (150000, 2, 2000, 39980000))
+      AS t(sf_key, hamming, n_pairs, id_sum)
+    WHERE sf_key = (SELECT count(*) FROM orders)
     ORDER BY hamming
     """,
 )
@@ -2451,27 +2704,59 @@ def g11(spark, sf_dir):
 @register(
     "g15_image_curation",
     """
-    SELECT CAST(shard AS INT) AS shard, CAST(n_images AS BIGINT) AS n_images,
+        SELECT CAST(shard AS INT) AS shard, CAST(n_images AS BIGINT) AS n_images,
            CAST(id_sum AS BIGINT) AS id_sum, CAST(phash_xor AS BIGINT) AS phash_xor,
-           CAST(dup_sum AS BIGINT) AS dup_sum, CAST(bright_sum AS BIGINT) AS bright_sum
-    FROM (VALUES
-      (0, 112, 115696, 8612412025916977581, 8, 14364768375),
-      (1, 116, 117031, 3816210045208386387, 13, 14859123429),
-      (2, 131, 137275, -128579386929107992, 16, 16851943839),
-      (3, 114, 103428, 1978211674574507299, 14, 14549052161),
-      (4, 128, 127337, 207529182242915750, 11, 16386239778),
-      (5, 120, 125399, 691975432454488345, 11, 15420600010),
-      (6, 114, 113617, 4656021945824964694, 11, 14608133688),
-      (7, 118, 110510, 4320000736980841873, 14, 15086383456),
-      (8, 121, 119212, -8428474618560843462, 13, 15480917223),
-      (9, 144, 149072, 7858231911290764753, 18, 18493437915),
-      (10, 127, 124810, -8245094714656389129, 12, 16274746985),
-      (11, 110, 123506, 1122868718630419705, 4, 14075222980),
-      (12, 119, 117518, -6860085147988041431, 9, 15215122413),
-      (13, 152, 149520, 7371563786793859805, 18, 19461894909),
-      (14, 137, 127613, -113233547782934256, 12, 17509805636),
-      (15, 137, 137456, -8654630407069405998, 15, 17597864697)
-    ) AS t(shard, n_images, id_sum, phash_xor, dup_sum, bright_sum)
+           CAST(dup_sum AS BIGINT) AS dup_sum, CAST(bright_sum AS BIGINT) AS bright_sum FROM (VALUES
+      (1500, 0, 112, 115696, 8612412025916977581, 8, 14364768375),
+      (1500, 1, 116, 117031, 3816210045208386387, 13, 14859123429),
+      (1500, 2, 131, 137275, -128579386929107992, 16, 16851943839),
+      (1500, 3, 114, 103428, 1978211674574507299, 14, 14549052161),
+      (1500, 4, 128, 127337, 207529182242915750, 11, 16386239778),
+      (1500, 5, 120, 125399, 691975432454488345, 11, 15420600010),
+      (1500, 6, 114, 113617, 4656021945824964694, 11, 14608133688),
+      (1500, 7, 118, 110510, 4320000736980841873, 14, 15086383456),
+      (1500, 8, 121, 119212, -8428474618560843462, 13, 15480917223),
+      (1500, 9, 144, 149072, 7858231911290764753, 18, 18493437915),
+      (1500, 10, 127, 124810, -8245094714656389129, 12, 16274746985),
+      (1500, 11, 110, 123506, 1122868718630419705, 4, 14075222980),
+      (1500, 12, 119, 117518, -6860085147988041431, 9, 15215122413),
+      (1500, 13, 152, 149520, 7371563786793859805, 18, 19461894909),
+      (1500, 14, 137, 127613, -113233547782934256, 12, 17509805636),
+      (1500, 15, 137, 137456, -8654630407069405998, 15, 17597864697),
+      (15000, 0, 112, 115696, 8612412025916977581, 8, 14364768375),
+      (15000, 1, 116, 117031, 3816210045208386387, 13, 14859123429),
+      (15000, 2, 131, 137275, -128579386929107992, 16, 16851943839),
+      (15000, 3, 114, 103428, 1978211674574507299, 14, 14549052161),
+      (15000, 4, 128, 127337, 207529182242915750, 11, 16386239778),
+      (15000, 5, 120, 125399, 691975432454488345, 11, 15420600010),
+      (15000, 6, 114, 113617, 4656021945824964694, 11, 14608133688),
+      (15000, 7, 118, 110510, 4320000736980841873, 14, 15086383456),
+      (15000, 8, 121, 119212, -8428474618560843462, 13, 15480917223),
+      (15000, 9, 144, 149072, 7858231911290764753, 18, 18493437915),
+      (15000, 10, 127, 124810, -8245094714656389129, 12, 16274746985),
+      (15000, 11, 110, 123506, 1122868718630419705, 4, 14075222980),
+      (15000, 12, 119, 117518, -6860085147988041431, 9, 15215122413),
+      (15000, 13, 152, 149520, 7371563786793859805, 18, 19461894909),
+      (15000, 14, 137, 127613, -113233547782934256, 12, 17509805636),
+      (15000, 15, 137, 137456, -8654630407069405998, 15, 17597864697),
+      (150000, 0, 1228, 12389174, 3435832181825664092, 129, 157407523234),
+      (150000, 1, 1243, 12609885, -5068804160584866785, 113, 159297985494),
+      (150000, 2, 1276, 12643227, 1991247193574542426, 135, 163648560354),
+      (150000, 3, 1224, 12086473, 7722823520743102977, 128, 156715425654),
+      (150000, 4, 1219, 12160089, -5195459609825063150, 140, 156212603482),
+      (150000, 5, 1227, 12299958, -1686720566068250787, 105, 157163779877),
+      (150000, 6, 1238, 12628663, 5769423375908803232, 131, 158851024296),
+      (150000, 7, 1238, 12385159, 607879590751636554, 121, 158722039000),
+      (150000, 8, 1269, 12824398, -2754434854839179333, 119, 162509771503),
+      (150000, 9, 1241, 12411778, -6300599695477192792, 136, 158949558418),
+      (150000, 10, 1285, 12841142, -7308363095237866183, 128, 164609454249),
+      (150000, 11, 1233, 12424753, -4550292290844066392, 105, 158009071401),
+      (150000, 12, 1263, 12700434, -1600655385588963718, 134, 161870874099),
+      (150000, 13, 1231, 11908361, -1714102273101092690, 110, 157654499597),
+      (150000, 14, 1303, 12848954, -3544216574019323330, 127, 166793779171),
+      (150000, 15, 1278, 12792022, 4018456882860996126, 137, 163623385917))
+      AS t(sf_key, shard, n_images, id_sum, phash_xor, dup_sum, bright_sum)
+    WHERE sf_key = (SELECT count(*) FROM orders)
     ORDER BY shard
     """,
 )
@@ -2531,8 +2816,11 @@ def g15(spark, sf_dir):
       WHERE i.n_inter / (ca.n_sh + cb.n_sh - i.n_inter) >= 0.5
     ),
     edges AS (
+      -- UNION ALL: bare UNION in a WITH RECURSIVE block keeps dups
+      -- anyway (see cdoc note in d14); duplicate edges are harmless to
+      -- reachability, so make the intent explicit
       SELECT id_a AS src, id_b AS dst FROM prs
-      UNION SELECT id_b, id_a FROM prs
+      UNION ALL SELECT id_b, id_a FROM prs
     ),
     reach(src, dst) AS (
       SELECT src, dst FROM edges
@@ -2571,8 +2859,11 @@ def d11(spark, sf_dir):
       WHERE round({_cos_expr('vec_a', 'vec_b')}, 3) >= 0.3
     ),
     edges AS (
+      -- UNION ALL: bare UNION in a WITH RECURSIVE block keeps dups
+      -- anyway (see cdoc note in d14); duplicate edges are harmless to
+      -- reachability, so make the intent explicit
       SELECT id_a AS src, id_b AS dst FROM prs
-      UNION SELECT id_b, id_a FROM prs
+      UNION ALL SELECT id_b, id_a FROM prs
     ),
     reach(src, dst) AS (
       SELECT src, dst FROM edges
@@ -2650,8 +2941,15 @@ def d12(spark, sf_dir):
     f"""
     WITH RECURSIVE {_DOCS_AUG_SQL}, {_MINHASH_SQL_BODY},
     cdoc AS (
-      SELECT DISTINCT id_a AS doc_id FROM cand
-      UNION SELECT DISTINCT id_b FROM cand
+      -- DISTINCT over UNION ALL, not bare UNION: inside WITH RECURSIVE,
+      -- DuckDB parses any CTE's top-level UNION as base/recursive-step
+      -- and KEEPS duplicates across the parts even when the step never
+      -- references the CTE — duplicated doc rows inflated the df-cap
+      -- window counts (caught by the round-6 sf0.001 sweep)
+      SELECT DISTINCT doc_id FROM (
+        SELECT id_a AS doc_id FROM cand
+        UNION ALL SELECT id_b FROM cand
+      )
     ),
     cshd0 AS (
       SELECT s.doc_id, s.shingle FROM shd s JOIN cdoc USING (doc_id)
@@ -2677,8 +2975,11 @@ def d12(spark, sf_dir):
       WHERE i.n_inter / (ca.n_sh + cb.n_sh - i.n_inter) >= 0.5
     ),
     edges AS (
+      -- UNION ALL: bare UNION in a WITH RECURSIVE block keeps dups
+      -- anyway (see cdoc note in d14); duplicate edges are harmless to
+      -- reachability, so make the intent explicit
       SELECT id_a AS src, id_b AS dst FROM prs
-      UNION SELECT id_b, id_a FROM prs
+      UNION ALL SELECT id_b, id_a FROM prs
     ),
     reach(src, dst) AS (
       SELECT src, dst FROM edges
@@ -2716,4 +3017,88 @@ def d14(spark, sf_dir):
     return cc.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("component").cast("long").alias("component"),
+    )
+
+
+@register(
+    "g17_ivf_stored_search",
+    """
+        SELECT CAST(rank_k AS INT) AS rank_k, CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(qid_sum AS BIGINT) AS qid_sum, CAST(nid_sum AS BIGINT) AS nid_sum,
+           CAST(sim_milli_sum AS BIGINT) AS sim_milli_sum,
+           CAST(match_inmem AS BOOLEAN) AS match_inmem FROM (VALUES
+      (1500, 1, 20, 4750, 5266, 7030, TRUE),
+      (1500, 2, 20, 4750, 5443, 6293, TRUE),
+      (1500, 3, 20, 4750, 5312, 5790, TRUE),
+      (1500, 4, 20, 4750, 5009, 5447, TRUE),
+      (1500, 5, 20, 4750, 5740, 5222, TRUE),
+      (15000, 1, 20, 4750, 5856, 7488, TRUE),
+      (15000, 2, 20, 4750, 5068, 6610, TRUE),
+      (15000, 3, 20, 4750, 5312, 5840, TRUE),
+      (15000, 4, 20, 4750, 5407, 5515, TRUE),
+      (15000, 5, 20, 4750, 4408, 5310, TRUE),
+      (150000, 1, 80, 79000, 73739, 31344, TRUE),
+      (150000, 2, 80, 79000, 72351, 28893, TRUE),
+      (150000, 3, 80, 79000, 80112, 27557, TRUE),
+      (150000, 4, 80, 79000, 81279, 26590, TRUE),
+      (150000, 5, 80, 79000, 77617, 25812, TRUE))
+      AS t(sf_key, rank_k, n_pairs, qid_sum, nid_sum, sim_milli_sum, match_inmem)
+    WHERE sf_key = (SELECT count(*) FROM orders)
+    ORDER BY rank_k
+    """,
+)
+def g17(spark, sf_dir):
+    """The IVF SERVING path against a stored index, oracle-checked end
+    to end (round-6 closure of the r5 verdict's top item): build
+    deterministic Lloyd centroids, persist the assigned corpus with
+    ivf_store (SnapTable hive-partitioned by list_id), then search a
+    fixed query batch with ivf_topk_stored — the probed lists become
+    PartitionFilters on the corpus scan (plan pinned in
+    tests/test_similarity.py::test_ivf_stored_layout_prunes_scan), so
+    only nprobe/n_lists of the index is READ. Digested per rank_k with
+    exact-long key/sim checksums (g02 convention; sims are 3-dp-rounded
+    in-plan so x1000 is integral), plus an in-plan match_inmem flag:
+    the stored path must be row-identical to ivf_topk over the same
+    assignment. Literal oracle pinned at the driver gate's sf=0.01
+    scale. The index lives in a run-unique temp dir (digest computed
+    eagerly, then removed)."""
+    import shutil
+    import tempfile
+
+    from .operators.similarity import (
+        ivf_store,
+        ivf_topk,
+        ivf_topk_stored,
+        kmeans_centroids,
+    )
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, n_lists=8, iters=2)
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    path = tempfile.mkdtemp(prefix="g17_ivf_")
+    try:
+        store = ivf_store(emb, cents, path)
+        got = ivf_topk_stored(spark, q, store, cents, k=5, nprobe=2)
+        mem = ivf_topk(q, store.read(spark), cents, k=5, nprobe=2)
+        n_diff = got.exceptAll(mem).count() + mem.exceptAll(got).count()
+        rows = (
+            got.groupBy("rank_k")
+            .agg(
+                F.count("*").cast("long").alias("n_pairs"),
+                F.sum("q_id").cast("long").alias("qid_sum"),
+                F.sum("n_id").cast("long").alias("nid_sum"),
+                F.sum(F.round(F.col("sim") * 1000).cast("long")).alias(
+                    "sim_milli_sum"
+                ),
+            )
+            .withColumn("match_inmem", F.lit(bool(n_diff == 0)))
+            .orderBy("rank_k")
+            .collect()  # bounded: k digest rows, so the store can be dropped
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "rank_k int, n_pairs bigint, qid_sum bigint, nid_sum bigint, "
+        "sim_milli_sum bigint, match_inmem boolean",
     )

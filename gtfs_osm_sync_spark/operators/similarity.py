@@ -249,30 +249,22 @@ def make_centroids(
     )
 
 
-def ivf_topk(
+def _ivf_probes(
     queries: DataFrame,
-    corpus_assigned: DataFrame,
     centroids: DataFrame,
-    k: int = 5,
-    nprobe: int = 4,
+    nprobe: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF search: each query probes its `nprobe` nearest inverted lists,
-    exact cosine re-rank inside them. corpus_assigned = ivf_assign output.
-
-    The probe join is an equi-join on list_id — at scale the corpus is
-    clustered by list_id so only nprobe/n_lists of the data is scanned
-    per query batch (the IVF pruning effect). Recall measured vs brute
-    force in tests; deterministic tie-breaks throughout.
-    """
+    """Each query's `nprobe` nearest inverted lists (broadcast centroid
+    set, deterministic ties): (q_id, q_vec, q_norm, list_id)."""
     c = F.broadcast(centroids.select("list_id", F.col(vec_col).alias("c_vec")))
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
         norm(F.col(vec_col)).alias("q_norm"),
     )
-    probes = (
+    return (
         q.crossJoin(c)
         .withColumn("c_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
         .withColumn(
@@ -284,6 +276,17 @@ def ivf_topk(
         .filter(F.col("_rn") <= nprobe)
         .select("q_id", "q_vec", "q_norm", "list_id")
     )
+
+
+def _ivf_rerank(
+    probes: DataFrame,
+    corpus_assigned: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine re-rank of each query against its probed lists'
+    candidates (broadcast probes, per-side norm precompute)."""
     # per-side norm precompute (see brute_force_topk): the candidate
     # re-rank — the O(corpus/n_lists * nprobe) hot path — folds once
     cand = corpus_assigned.select(
@@ -308,6 +311,92 @@ def ivf_topk(
         .filter(F.col("rank_k") <= k)
         .select("q_id", "n_id", "rank_k", "sim")
     )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus_assigned: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search over an IN-MEMORY assigned corpus: each query probes
+    its `nprobe` nearest inverted lists, exact cosine re-rank inside
+    them. corpus_assigned = ivf_assign output.
+
+    The probe join is an equi-join on list_id, so the prune here is
+    COMPUTE-only: the re-rank folds touch nprobe/n_lists of the rows,
+    but the corpus frame itself is scanned in full per query batch. For
+    the serving path against a persisted index — where the scan, not
+    the fold, is the at-scale cost — use ivf_store + ivf_topk_stored,
+    which prunes the I/O via the list_id partition layout. Recall
+    measured vs brute force in tests; deterministic ties throughout."""
+    probes = _ivf_probes(queries, centroids, nprobe, id_col, vec_col)
+    return _ivf_rerank(probes, corpus_assigned, k, id_col, vec_col)
+
+
+def ivf_store(
+    df: DataFrame,
+    centroids: DataFrame,
+    root: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    literal_max_lists: int = 256,
+):
+    """One-time IVF index BUILD with a stored layout: assign every
+    vector its nearest centroid (ivf_assign_auto picks the map-only
+    literal fold or the broadcast-join aggregation by n_lists) and
+    persist the corpus hive-partitioned by list_id in a SnapTable —
+    the same machinery as the delta sync's cell_part feed store. Each
+    partitioned append is an immutable list_id=N tree, so a search
+    that filters by the probed lists gets PartitionFilters: only
+    nprobe/n_lists of the index is READ, not just re-ranked. Returns
+    the SnapTable (atomic snapshot commit; rebuilds are appends +
+    compact, rollback restores prior index versions)."""
+    from ..sources.snaptable import SnapTable
+
+    t = SnapTable(root, partition_by="list_id")
+    t.append(ivf_assign_auto(df, centroids, id_col, vec_col, literal_max_lists))
+    return t
+
+
+def ivf_topk_stored(
+    spark,
+    queries: DataFrame,
+    store,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    prune_max_lists: int = 256,
+) -> DataFrame:
+    """IVF search against an ivf_store index with STORAGE-level list
+    pruning: the query batch's probed list ids (a bounded driver
+    collect — at most n_lists ints, the sync's touched-id contract)
+    become an In(list_id, ...) filter on the partitioned corpus scan,
+    so only the probed lists' files are read (PartitionFilters — real
+    I/O skipping, pinned in tests/test_similarity.py). Results are
+    row-identical to ivf_topk over the same assigned corpus: the
+    filter keeps exactly the lists the probe equi-join would keep.
+
+    Regime-switched like streaming/sync._pruned_feed: a batch probing
+    more than `prune_max_lists` distinct lists scans the index plain —
+    past that point the filter prunes little and its literal-set
+    evaluation is pure cost (size the knob to a minority share of
+    n_lists). The driver collect evaluates the probe subplan once;
+    its result is re-derived in the re-rank join (n_queries x nprobe
+    rows — recomputing beats caching at this size)."""
+    probes = _ivf_probes(queries, centroids, nprobe, id_col, vec_col)
+    corpus = store.read(spark)
+    probed = sorted(
+        r["list_id"] for r in probes.select("list_id").distinct().collect()
+    )
+    if probed and len(probed) <= prune_max_lists:
+        corpus = corpus.filter(F.col("list_id").isin(probed))
+    return _ivf_rerank(probes, corpus, k, id_col, vec_col)
 
 
 def lsh_topk_multiprobe(
@@ -481,9 +570,80 @@ def ivf_assign_literal(
     """ivf_assign without the crossJoin+window: centroids collected (tiny)
     and folded as literals — a pure map stage, the index-build formulation
     for 10^12-row corpora (ivf_assign's window shuffles corpus x n_lists
-    rows; this shuffles nothing)."""
+    rows; this shuffles nothing). Plan size grows with n_lists * dim
+    literals, so this path is for SMALL centroid sets — see
+    ivf_assign_auto for the sizing rule."""
     cents = [
         (int(r["list_id"]), [float(x) for x in r[vec_col]])
         for r in centroids.collect()
     ]
     return df.withColumn("list_id", _best_list_expr(F.col(vec_col), sorted(cents)))
+
+
+def ivf_assign_bcast(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Broadcast-join assignment for LARGE centroid sets: df x centroids
+    scored pairs reduced by a map-side-partial min(struct) aggregation —
+    the mechanism kmeans_centroids' Lloyd rounds use, extended to carry
+    the full input row through. The literal fold's plan compiles
+    n_lists * dim literals on the driver (tens of seconds at thousands
+    of lists, repeated per job); this keeps every plan small and the
+    work on executors at one corpus-keyed shuffle.
+
+    Ties identical to _best_list_expr (highest sim, then lowest
+    list_id — min over a (-sim, list_id) struct), so the two mechanisms
+    assign every vector identically (pinned in tests). The row struct
+    rides BEHIND (-sim, list_id) in the min: per-group those pairs are
+    distinct, so row payloads never participate in the comparison."""
+    rest = [c for c in df.columns if c != id_col]
+    cdf = F.broadcast(
+        centroids.select(
+            F.col("list_id"), F.col(vec_col).alias("_cv")
+        ).withColumn("_cn", norm(F.col("_cv")))
+    )
+    src = df.withColumn("_vn", norm(F.col(vec_col)))
+    sim = dot(F.col(vec_col), F.col("_cv")) / (F.col("_vn") * F.col("_cn"))
+    best = (
+        src.join(cdf)
+        .groupBy(id_col)
+        .agg(
+            F.min(
+                F.struct(
+                    (-sim).alias("_ns"),
+                    F.col("list_id"),
+                    F.struct(*[F.col(c) for c in rest]).alias("_row"),
+                )
+            ).alias("_b")
+        )
+    )
+    return best.select(
+        F.col(id_col),
+        *[F.col(f"_b._row.{c}").alias(c) for c in rest],
+        F.col("_b.list_id").alias("list_id"),
+    )
+
+
+def ivf_assign_auto(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    literal_max_lists: int = 256,
+) -> DataFrame:
+    """Index-build assignment with the n_lists SCALE RULE applied.
+
+    Standard IVF sizing is n_lists ~ sqrt(N): 10^6 vectors -> ~1k
+    lists, 10^12 -> ~10^6 lists. The literal fold's plan size (and its
+    per-job driver compile cost) grows with n_lists * dim, so it only
+    wins while the centroid set is small; past `literal_max_lists` the
+    broadcast-join aggregation is selected instead — small plan, one
+    corpus-keyed shuffle, work on executors. The centroid count() here
+    is a metadata-cheap action over the tiny centroid frame."""
+    n_lists = centroids.count()
+    if n_lists <= literal_max_lists:
+        return ivf_assign_literal(df, centroids, id_col, vec_col)
+    return ivf_assign_bcast(df, centroids, id_col, vec_col)
