@@ -124,10 +124,14 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates share the LSH bucket, exact re-rank.
 
-    The scale path: corpus is hash-partitioned by bucket (one shuffle),
-    each query probes only its bucket. Recall < 1 by construction; tests
-    measure recall against brute_force_topk.
-    """
+    Plan shape AS WRITTEN: one corpus scan, bucket computed per row, and
+    a broadcast hash join against the (small) query side — the bucket
+    equi-join prunes the PAIR space (compute), not the scan. For a
+    query batch too large to broadcast, both sides hash-shuffle on
+    `bucket` instead (Catalyst picks this automatically past the
+    broadcast threshold); a stored bucket layout would additionally
+    prune I/O exactly as ivf_store/ivf_topk_stored do for IVF lists.
+    Recall < 1 by construction; tests measure it vs brute_force_topk."""
     bucket = lsh_bucket(F.col(vec_col), n_bits, dim)
     # per-side norm precompute (see brute_force_topk): one fold per pair
     q = queries.select(
@@ -202,11 +206,14 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF coarse quantization: each vector joins its nearest centroid
-    (exact cosine over the broadcast centroid set). Returns df + `list_id`.
+    (exact cosine over the broadcast centroid set). Returns df + `list_id`
+    (an in-memory frame — persisting it clustered by list_id is
+    ivf_store's job; this function only computes the assignment).
 
-    At 10^12 rows this is the one-time index build: a map-only stage with
-    a broadcast centroid table, output partitioned/clustered by list_id.
-    """
+    At 10^12 rows the one-time index build uses ivf_assign_auto (map-only
+    literal fold or broadcast-join agg) + ivf_store; this window-based
+    variant shuffles corpus x n_lists rows and exists as the
+    oracle-checkable baseline the others are pinned against."""
     c = F.broadcast(
         centroids.select(F.col("list_id"), F.col(vec_col).alias("c_vec"))
     )
