@@ -50,7 +50,10 @@ for k in range(nb):
         (~is_dup & num.between(lo, hi - 1))
         | (is_dup & num.between(lo - m, lo - 1))
     )
-    b.coalesce(4).write.mode("overwrite").parquet(
+    # ONE file per drop: the file source triggers one micro-batch per
+    # FILE under maxFilesPerTrigger=1, so multi-file drops would give
+    # uneven batch sizes and a meaningless flatness statistic
+    b.coalesce(1).write.mode("overwrite").parquet(
         {stage_dir!r} + f"/drops/b{{k:02d}}.parquet")
 print("STAGED")
 """
@@ -136,6 +139,8 @@ def main() -> None:
 
         shutil.rmtree(stage, ignore_errors=True)
     walls = [b["wall_sec"] for b in res["batches"]]
+    # first two batches are JVM/JIT/plan warm-up; the claim is about the
+    # steady state as the accepted log keeps growing
     steady = walls[2:] if len(walls) > 4 else walls
     build = subprocess.run(
         ["git", "rev-parse", "--short", "HEAD"],
