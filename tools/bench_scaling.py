@@ -922,6 +922,17 @@ r4's 2.19 normalized (-17%) on the identical plan — host drift, not a
 regression; watch closed. q11 normalized 2.098 (r4: 1.929, within the
 documented +-10% drift band).
 
+q10/q09 normalized watch (VERDICT r5 item 2 — BENCH_r05 showed q10
+1.158 -> 1.658, q09 0.725 -> 1.003 vs r4 with no code or plan change):
+four spaced round-6 re-runs of the identical bench (2026-08-18), drift
+indices 0.723 / 0.857 / 0.945 / **1.045**. On the one genuinely clean
+window (1.045) q10 measured 1.049 s raw / **1.004 normalized** (below
+r4's 1.158) and q09 0.801 s raw / **0.767 normalized** (at r4's 0.725
+band); the dirtier the window, the worse both read (q10 1.444 at drift
+0.723), i.e. the r5 values were the drift probe under-correcting inside
+a noisy window, not a regression. Watch closed. Raw JSON of the clean
+run: BENCH/local_r6_q10q09_ab.json.
+
 {_delta_sync_section()}{_ivf_store_section()}{_stream_curate_section()}## Reference comparison
 
 The reference (gtfs-osm-sync) computes an O(N*M) nested Vincenty loop on
