@@ -3102,3 +3102,143 @@ def g17(spark, sf_dir):
         "rank_k int, n_pairs bigint, qid_sum bigint, nid_sum bigint, "
         "sim_milli_sum bigint, match_inmem boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# text retrieval (t-family): BM25 / TF-IDF top-k + stored inverted index
+# ---------------------------------------------------------------------------
+# The reference has no retrieval surface (the fuzzy operator-name predicate,
+# OperatorInfo.java:45-77, is its closest analog); this family belongs to
+# the engine's LLM-training-data toolkit next to dedup and ANN. Fixed query
+# strings over the synth documents vocabulary — present at every SF.
+
+_RETRIEVAL_QS = [
+    (1, "fast table scan"),
+    (2, "window agg merge"),
+    (3, "customer order query"),
+    (4, "big vector join the"),
+]
+
+_RETRIEVAL_Q_VALUES = """
+  VALUES (1,'fast'),(1,'table'),(1,'scan'),
+         (2,'window'),(2,'agg'),(2,'merge'),
+         (3,'customer'),(3,'order'),(3,'query'),
+         (4,'big'),(4,'vector'),(4,'join'),(4,'the')
+"""
+
+_BM25_SQL = f"""
+    WITH q(query_id, term) AS ({_RETRIEVAL_Q_VALUES}),
+    corpus AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(w)) AS DOUBLE) / count(*) AS avgdl
+      FROM corpus
+    ),
+    tok AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM corpus),
+    postings AS (
+      SELECT doc_id, term, CAST(count(*) AS INT) AS tf, CAST(max(dl) AS INT) AS dl
+      FROM tok WHERE term IN (SELECT term FROM q)
+      GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM postings GROUP BY term),
+    scores AS (
+      SELECT q.query_id, p.doc_id,
+             round(sum(
+               ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+               * p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl))
+             ), 6) AS score
+      FROM q JOIN postings p ON p.term = q.term
+      JOIN dfreq f ON f.term = q.term
+      CROSS JOIN stats s
+      GROUP BY q.query_id, p.doc_id
+    )
+    SELECT * FROM (
+      SELECT query_id,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank,
+             doc_id, score
+      FROM scores
+    ) WHERE rank <= 10
+"""
+
+
+@register("t01_bm25_topk", _BM25_SQL)
+def t01(spark, sf_dir):
+    """BM25 top-10 per query over the documents corpus. The postings
+    shuffle is restricted to the query vocabulary inside the scan stage
+    (O(matching tokens), never O(corpus tokens)); df/idf are a tiny
+    broadcast; top-k is the salted two-stage (no single task sorts a
+    head term's full candidate list). The oracle is the brute-force
+    unnest-everything formulation — hash-matching it also proves the
+    vocabulary restriction loses no candidate."""
+    from .operators.retrieval import bm25_topk
+
+    (docs,) = load(spark, sf_dir, "documents")
+    return bm25_topk(spark, docs, _RETRIEVAL_QS, k=10)
+
+
+@register(
+    "t02_tfidf_topk",
+    f"""
+    WITH q(query_id, term) AS ({_RETRIEVAL_Q_VALUES}),
+    corpus AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM corpus),
+    tok AS (SELECT doc_id, unnest(w) AS term FROM corpus),
+    postings AS (
+      SELECT doc_id, term, CAST(count(*) AS INT) AS tf
+      FROM tok WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM postings GROUP BY term),
+    scores AS (
+      SELECT q.query_id, p.doc_id,
+             round(sum(p.tf * (ln((s.n_docs + 1.0) / (f.df + 1.0)) + 1.0)), 6) AS score
+      FROM q JOIN postings p ON p.term = q.term
+      JOIN dfreq f ON f.term = q.term
+      CROSS JOIN stats s
+      GROUP BY q.query_id, p.doc_id
+    )
+    SELECT * FROM (
+      SELECT query_id,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank,
+             doc_id, score
+      FROM scores
+    ) WHERE rank <= 10
+    """,
+)
+def t02(spark, sf_dir):
+    """Smooth-TF-IDF top-10 per query (sklearn's ln((N+1)/(df+1))+1 idf),
+    same plan shape as t01."""
+    from .operators.retrieval import tfidf_topk
+
+    (docs,) = load(spark, sf_dir, "documents")
+    return tfidf_topk(spark, docs, _RETRIEVAL_QS, k=10)
+
+
+@register("t03_bm25_indexed", _BM25_SQL)
+def t03(spark, sf_dir):
+    """BM25 against a STORED inverted index, oracle-checked end to end:
+    build_term_index persists full postings hive-partitioned by
+    term_bucket (SnapTable — the serving-layout machinery's third use
+    after the delta-sync feed and the IVF lists) plus a 1-row corpus
+    stats table; bm25_topk_indexed turns the query vocabulary's buckets
+    into In(bucket, ...) PartitionFilters on the postings scan (plan
+    pinned in tests/test_retrieval.py). The oracle is t01's SQL
+    verbatim, so the gate itself proves indexed == brute-force. The
+    index lives in a run-unique temp dir (rows collected eagerly — at
+    most 4 queries x k — then the store is removed)."""
+    import shutil
+    import tempfile
+
+    from .operators.retrieval import bm25_topk_indexed, build_term_index
+
+    (docs,) = load(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="t03_idx_")
+    try:
+        idx, stats = build_term_index(docs, path)
+        rows = bm25_topk_indexed(spark, idx, stats, _RETRIEVAL_QS, k=10).collect()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "query_id int, rank int, doc_id bigint, score double"
+    )
