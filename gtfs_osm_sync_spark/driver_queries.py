@@ -3242,3 +3242,85 @@ def t03(spark, sf_dir):
     return spark.createDataFrame(
         rows, "query_id int, rank int, doc_id bigint, score double"
     )
+
+
+@register(
+    "g18_pq_ann",
+    """
+        SELECT CAST(rank_k AS INT) AS rank_k, CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(qid_sum AS BIGINT) AS qid_sum, CAST(nid_sum AS BIGINT) AS nid_sum,
+           CAST(adc_micro_sum AS BIGINT) AS adc_micro_sum,
+           CAST(recall_milli AS INT) AS recall_milli FROM (VALUES
+      (1500, 1, 20, 4750, 4706, 5010920, 210),
+      (1500, 2, 20, 4750, 6537, 4264582, 210),
+      (1500, 3, 20, 4750, 5619, 4009506, 210),
+      (1500, 4, 20, 4750, 4737, 3761908, 210),
+      (1500, 5, 20, 4750, 5465, 3582333, 210),
+      (15000, 1, 20, 4750, 5287, 4927339, 240),
+      (15000, 2, 20, 4750, 4226, 4334506, 240),
+      (15000, 3, 20, 4750, 5447, 3951161, 240),
+      (15000, 4, 20, 4750, 4907, 3727640, 240),
+      (15000, 5, 20, 4750, 6138, 3505074, 240),
+      (150000, 1, 80, 79000, 84227, 19625876, 110),
+      (150000, 2, 80, 79000, 75225, 18108763, 110),
+      (150000, 3, 80, 79000, 79773, 17088506, 110),
+      (150000, 4, 80, 79000, 84853, 16292801, 110),
+      (150000, 5, 80, 79000, 73763, 15781477, 110))
+      AS t(sf_key, rank_k, n_pairs, qid_sum, nid_sum, adc_micro_sum, recall_milli)
+    WHERE sf_key = (SELECT count(*) FROM orders)
+    ORDER BY rank_k
+    """,
+)
+def g18(spark, sf_dir):
+    """IVF-PQ compressed serving, oracle-checked end to end: train
+    per-subspace L2 codebooks (pq_train — deterministic Lloyd), build a
+    pq_store (the ivf_store list_id layout with M=8 4-bit-ish codes +
+    one stored norm REPLACING the raw embedding: a 16-32x scan-size
+    cut), then ADC-search a fixed query batch — probed lists prune the
+    scan (PartitionFilters) and the candidates' codes join a broadcast
+    (q_id, sub, code, w) table (plan pinned in tests/test_pq.py).
+    Digested per rank_k with exact-long checksums (adc_score is
+    6-dp-rounded in-plan so x1e6 is integral) plus recall_milli vs the
+    exact brute force — MEASURED in-plan, the g06/g07 convention: the
+    synthetic corpus is unstructured (top-1 cosine ~0.35 over a ~0.3
+    background), so the pinned value documents reality. The store lives
+    in a run-unique temp dir (digest computed eagerly, then removed)."""
+    import shutil
+    import tempfile
+
+    from .operators.pq import pq_store, pq_topk_stored, pq_train
+    from .operators.similarity import brute_force_topk, kmeans_centroids
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, n_lists=8, iters=2)
+    books = pq_train(emb, m=8, k=16, iters=2)
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    path = tempfile.mkdtemp(prefix="g18_pq_")
+    try:
+        store = pq_store(emb, cents, books, path)
+        got = pq_topk_stored(spark, q, store, cents, books, k=5, nprobe=2)
+        exact = brute_force_topk(q, emb, k=5)
+        hits = got.join(exact, ["q_id", "n_id"], "left_semi")
+        n_exact = exact.count()
+        recall_milli = int(round(hits.count() * 1000 / n_exact))
+        rows = (
+            got.groupBy("rank_k")
+            .agg(
+                F.count("*").cast("long").alias("n_pairs"),
+                F.sum("q_id").cast("long").alias("qid_sum"),
+                F.sum("n_id").cast("long").alias("nid_sum"),
+                F.sum(F.round(F.col("adc_score") * 1e6).cast("long")).alias(
+                    "adc_micro_sum"
+                ),
+            )
+            .withColumn("recall_milli", F.lit(recall_milli))
+            .orderBy("rank_k")
+            .collect()  # bounded: k digest rows, so the store can be dropped
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "rank_k int, n_pairs bigint, qid_sum bigint, nid_sum bigint, "
+        "adc_micro_sum bigint, recall_milli int",
+    )

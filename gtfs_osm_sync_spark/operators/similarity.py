@@ -499,6 +499,7 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    metric: str = "cos",
 ) -> DataFrame:
     """Deterministic Lloyd-iteration k-means for the IVF index build
     (tightens inverted lists vs the hash-seeded make_centroids; recall
@@ -519,7 +520,14 @@ def kmeans_centroids(
     form (g07's pinned oracle re-verified). Component means are rounded
     to `round_dp` before the next round, pinning run-to-run determinism
     against float summation order. Empty lists keep their previous
-    centroid."""
+    centroid.
+
+    metric: "cos" (IVF coarse lists — assignment identical to
+    _best_list_expr) or "l2" (PQ sub-codebooks, operators/pq.py —
+    sub-vector L2 is what bounds the PQ dot-product approximation
+    error). Both break ties toward the lowest list_id."""
+    if metric not in ("cos", "l2"):
+        raise ValueError(f"unknown metric {metric!r} (use 'cos' or 'l2')")
     spark = corpus.sparkSession
     seeds = make_centroids(corpus, n_lists, id_col, vec_col).collect()
     cents: dict[int, list[float]] = {
@@ -537,8 +545,17 @@ def kmeans_centroids(
                 "list_id int, _cv array<double>",
             ).withColumn("_cn", norm(F.col("_cv")))
         )
-        # same arithmetic as cosine(vec, c_vec): dot / (norm(a) * norm(b))
-        sim = dot(F.col("_v"), F.col("_cv")) / (F.col("_vn") * F.col("_cn"))
+        if metric == "cos":
+            # same arithmetic as cosine(vec, c_vec): dot / (norm a * norm b)
+            sim = dot(F.col("_v"), F.col("_cv")) / (F.col("_vn") * F.col("_cn"))
+            key = (-sim).alias("_ns")
+        else:
+            # |v-c|^2 = |v|^2 - 2 v.c + |c|^2 with per-side norm precompute
+            key = (
+                F.col("_vn") * F.col("_vn")
+                - F.lit(2.0) * dot(F.col("_v"), F.col("_cv"))
+                + F.col("_cn") * F.col("_cn")
+            ).alias("_ns")
         best = (
             src.join(cdf)
             .groupBy("_id")
@@ -546,7 +563,7 @@ def kmeans_centroids(
             # distinct, so the array never participates in the comparison
             .agg(
                 F.min(
-                    F.struct((-sim).alias("_ns"), F.col("list_id"), F.col("_v"))
+                    F.struct(key, F.col("list_id"), F.col("_v"))
                 ).alias("_b")
             )
             .select(F.col("_b.list_id").alias("list_id"), F.col("_b._v").alias("_v"))

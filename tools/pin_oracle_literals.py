@@ -40,6 +40,7 @@ PINNED = [
     "g15_image_curation",
     "g16_tile_fetch",
     "g17_ivf_stored_search",
+    "g18_pq_ann",
 ]
 
 
