@@ -65,7 +65,8 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LEDGER = os.path.join(REPO, "BENCH", "runs.jsonl")
-PHASES = ("ingest", "assign", "mosaic", "compare", "dedup", "ann", "curate")
+PHASES = ("ingest", "assign", "mosaic", "compare", "dedup", "ann", "curate",
+          "retrieval")
 
 # Physical-plan generation per phase, recorded into each ledger row and
 # bumped whenever the measured plan changes (a median across different
@@ -89,6 +90,9 @@ PLAN_TAGS = {
     "curate": "one-pass-feats-banded-cc",  # single decode pass (einsum-
     #   batched DCT phash) persisted, pigeonhole banding on the computed
     #   hash, symfree-CC, survivor join + shard assign
+    "retrieval": "vocab-scan-salted-topk",  # BM25 end to end: postings
+    #   restricted to the query vocabulary inside the scan stage, 1-row
+    #   corpus stats, broadcast df/idf, salted two-stage top-k
 }
 # build-hash prefix -> {phase: tag} for pre-tagging ledger rows; anything
 # not listed ran the legacy plan for every phase (tag None = excluded
@@ -301,6 +305,36 @@ if phase == "curate":
                curate_sec=round(t_cu, 2),
                curate_images_per_sec=round(n_cur / t_cu, 1))
 
+if phase == "retrieval":
+    # BM25 end to end (the t01 formulation at bench scale): two corpus
+    # scans (1-row stats + vocabulary-restricted postings) dominate and
+    # are embarrassingly parallel; the df agg, scoring join and salted
+    # top-k ride on the tiny restricted postings. Query terms are synth
+    # vocabulary words (w0000..w4095, ~n_docs*60/4096 postings each).
+    from gtfs_osm_sync_spark.operators.retrieval import bm25_topk
+    docs = spark.read.parquet(stage + "/docs")
+    RQS = [(1, "w0001 w0123 w2047"), (2, "w0512 w1024 w3333"),
+           (3, "w0007 w0042 w0777 w1111"), (4, "w2222 w3999 w0100")]
+
+    def run_ret(src):
+        r = bm25_topk(spark, src, RQS, k=10)
+        return r.agg(F.sum(F.hash("query_id", "rank", "doc_id")),
+                     F.count("*")).collect()[0]
+
+    # warm-up on the FULL corpus (dedup-phase rationale: the split/
+    # filter/explode scan loops must be hot at BOTH levels)
+    run_ret(docs)
+    t_rt = float("inf")
+    topk_rows = 0
+    for _ in range(2):
+        t7 = time.time()
+        row = run_ret(docs)
+        topk_rows = row[1]
+        t_rt = min(t_rt, time.time() - t7)
+    out.update(retrieval_n=n_docs, retrieval_rows=topk_rows,
+               retrieval_sec=round(t_rt, 2),
+               retrieval_docs_per_sec=round(n_docs / t_rt, 1))
+
 if phase == "ann":
     # similarity-search pipeline end to end: IVF index BUILD (k-means on
     # a 5% sample -> literal map-only assign of the full corpus) + IVF
@@ -489,6 +523,7 @@ _TP_KEY = {
     "dedup": "dedup_docs_per_sec",
     "ann": "ann_vecs_per_sec",
     "curate": "curate_images_per_sec",
+    "retrieval": "retrieval_docs_per_sec",
 }
 _PHASE_DESC = {
     "ingest": "synth + fused geotag + parquet write",
@@ -498,6 +533,7 @@ _PHASE_DESC = {
     "dedup": "MinHash -> LSH -> Jaccard verify -> CC (d14 composition)",
     "ann": "IVF index build (sample k-means + literal assign) + IVF/LSH search",
     "curate": "image curation: decode+DCT-phash -> gates -> banded dedup -> CC -> shard (g15 composition)",
+    "retrieval": "BM25 top-k: vocab-restricted postings scan + stats + salted top-k (t01 composition)",
 }
 
 
@@ -667,6 +703,44 @@ unpruned penalty is RAM-speed parquet decode + {d['n_lists']}/
 vectors the unpruned variant's full-index bytes per query batch is the
 term that grows with the corpus, while the pruned scan's bytes stay
 O(probed lists). Raw JSON: BENCH/ivf_store_ab.json (host probes
+bracket the child: {d['host_probe_pre']} / {d['host_probe_post']} s).
+
+"""
+
+
+def _pq_section() -> str:
+    """Render the IVF-PQ serving A/B from BENCH/pq_ab.json (written by
+    tools/bench_pq.py). Empty if never run."""
+    path = os.path.join(REPO, "BENCH", "pq_ab.json")
+    if not os.path.exists(path):
+        return ""
+    with open(path) as f:
+        d = json.load(f)
+    mb = lambda b: f"{b / 1e6:.1f} MB"
+    return f"""## IVF-PQ serving: compressed codes + ADC vs full-precision re-rank ({d['n_vecs']:,} vectors, {d['cpus']} cores, fresh JVM)
+
+pq_store keeps M=8 sub-codes + one stored norm IN the list_id serving
+layout, REPLACING the raw embedding; pq_topk_stored prunes to the same
+probed lists as the full-precision path but scores candidates by ADC
+table lookups (broadcast (q, sub, code, w) join) instead of exact
+cosine folds. Same probed lists, same PartitionFilters — the A/B
+isolates the payload + scoring mechanism.
+
+| variant | index bytes | serve wall (s) |
+|---|---|---|
+| full-precision (ivf_topk_stored) | {mb(d['index_bytes_full'])} | {d['full_serve_sec']} |
+| PQ codes + ADC (pq_topk_stored) | {mb(d['index_bytes_pq'])} | {d['pq_serve_sec']} |
+
+**{d['compression']}x smaller index, {d['speedup']}x faster serve** at
+{d['n_queries']} queries x nprobe={d['nprobe']} ({d['n_probed_lists']}/
+{d['n_lists']} lists probed). PQ-vs-exact rank overlap at this corpus:
+{d['overlap_milli'] / 1000:.3f} (random synthetic vectors — quantization
+keeps only part of the narrow cosine margin; the overlap is measured,
+never assumed, and the exactly-representable-corpus test pins the ADC
+math itself). At 10^12 vectors the bytes column is the one that scales:
+the compressed scan reads {d['compression']}x less per probed list from
+remote storage. Builds untimed: ivf {d['build_ivf_sec']} s,
+pq {d['build_pq_sec']} s. Raw JSON: BENCH/pq_ab.json (host probes
 bracket the child: {d['host_probe_pre']} / {d['host_probe_post']} s).
 
 """
@@ -933,7 +1007,7 @@ band); the dirtier the window, the worse both read (q10 1.444 at drift
 a noisy window, not a regression. Watch closed. Raw JSON of the clean
 run: BENCH/local_r6_q10q09_ab.json.
 
-{_delta_sync_section()}{_ivf_store_section()}{_stream_curate_section()}## Reference comparison
+{_delta_sync_section()}{_ivf_store_section()}{_pq_section()}{_stream_curate_section()}## Reference comparison
 
 The reference (gtfs-osm-sync) computes an O(N*M) nested Vincenty loop on
 one JVM (CompareData.java:1016-1069) over 3,802 stops and publishes no
@@ -989,7 +1063,8 @@ def main() -> None:
         _STAGER.format(repo=REPO, n_images=n_images, n_stops=n_stops, n_docs=n_docs,
                        n_vecs=n_vecs, n_cur=n_cur, stage_dir=stage_dir,
                        need_geo="assign" in phases,
-                       need_cmp="compare" in phases, need_docs="dedup" in phases,
+                       need_cmp="compare" in phases,
+                       need_docs=("dedup" in phases or "retrieval" in phases),
                        need_ann="ann" in phases, need_curate="curate" in phases),
         None,
     )
