@@ -114,6 +114,11 @@ def _plan_of(run: dict, phase: str) -> str | None:
     # rewriting evidence. Runs recorded with the suffix pass through.
     if phase == "ann" and plan and "-w" not in plan and run.get("n_vecs"):
         plan = f"{plan}-w{int(run['n_vecs']) // 1000}k"
+    # retrieval has the same serial-fixed-cost sensitivity (plan compile
+    # + 1-row collects ~2.3 s/leg, measured run45): the world size is
+    # part of the measured configuration, derived from n_docs
+    if phase == "retrieval" and plan and "-w" not in plan and run.get("n_docs"):
+        plan = f"{plan}-w{int(run['n_docs']) // 1000}k"
     return plan
 
 _CHILD = r"""
