@@ -3126,7 +3126,10 @@ _RETRIEVAL_Q_VALUES = """
          (4,'big'),(4,'vector'),(4,'join'),(4,'the')
 """
 
-_BM25_SQL = f"""
+def _bm25_sql(k: int = 10) -> str:
+    """The t01 oracle, parameterized on the rank cut so t04 can splice
+    the whole computation in as a nested-WITH subquery at k=20."""
+    return f"""
     WITH q(query_id, term) AS ({_RETRIEVAL_Q_VALUES}),
     corpus AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     stats AS (
@@ -3158,8 +3161,11 @@ _BM25_SQL = f"""
                PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank,
              doc_id, score
       FROM scores
-    ) WHERE rank <= 10
+    ) WHERE rank <= {k}
 """
+
+
+_BM25_SQL = _bm25_sql(10)
 
 
 @register("t01_bm25_topk", _BM25_SQL)
@@ -3324,3 +3330,73 @@ def g18(spark, sf_dir):
         "rank_k int, n_pairs bigint, qid_sum bigint, nid_sum bigint, "
         "adc_micro_sum bigint, recall_milli int",
     )
+
+
+_T04_COS_K = 20
+
+
+def _t04_cos_sql() -> str:
+    """The semantic side of t04: brute-force cosine top-20 per query
+    vector (embedding of vec_id = 50*query_id), self-excluded — d08's
+    formulation with the q set mapped to the hybrid query ids."""
+    return f"""
+    WITH q AS (SELECT CAST(vec_id / 50 AS INT) AS query_id,
+                      embedding AS q_vec, vec_id AS q_vid
+               FROM embeddings WHERE vec_id IN (50, 100, 150, 200)),
+    c AS (SELECT vec_id AS doc_id, embedding AS n_vec FROM embeddings),
+    scored AS (
+      SELECT query_id, doc_id, round({_cos_expr('q_vec', 'n_vec')}, 3) AS sim
+      FROM q CROSS JOIN c WHERE q_vid != doc_id
+    )
+    SELECT query_id, doc_id, rank FROM (
+      SELECT query_id, doc_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY sim DESC, doc_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= {_T04_COS_K}
+"""
+
+
+@register(
+    "t04_hybrid_rrf",
+    f"""
+    WITH bm AS ({_bm25_sql(_T04_COS_K)}),
+    cs AS ({_t04_cos_sql()}),
+    fused AS (
+      SELECT query_id, doc_id,
+             round(sum(1.0 / (60 + rank)), 6) AS score
+      FROM (SELECT query_id, rank, doc_id FROM bm
+            UNION ALL
+            SELECT query_id, rank, doc_id FROM cs)
+      GROUP BY query_id, doc_id
+    )
+    SELECT query_id, rank, doc_id, score FROM (
+      SELECT query_id, doc_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, doc_id) AS INT) AS rank
+      FROM fused
+    ) WHERE rank <= 10
+    """,
+)
+def t04(spark, sf_dir):
+    """Hybrid retrieval: BM25 top-20 (lexical, over documents) fused
+    with brute-force cosine top-20 (semantic, over embeddings — the
+    same item-id space at every SF) by reciprocal-rank fusion
+    (1/(60+rank), the standard combiner — rank-based, so the two
+    systems' incomparable score scales never matter AND the whole
+    composition stays exactly SQL-expressible: this oracle recomputes
+    BOTH rankings and the fusion from scratch in DuckDB). The fusion
+    input is O(queries x k) rows — the corpus is touched only by the
+    two underlying retrievals."""
+    from .operators.retrieval import bm25_topk, rrf_fuse
+    from .operators.similarity import brute_force_topk
+
+    docs, emb = load(spark, sf_dir, "documents", "embeddings")
+    bm = bm25_topk(spark, docs, _RETRIEVAL_QS, k=_T04_COS_K)
+    qv = emb.filter(F.col("vec_id").isin(50, 100, 150, 200))
+    cs = brute_force_topk(qv, emb, k=_T04_COS_K).select(
+        (F.col("q_id") / 50).cast("int").alias("query_id"),
+        F.col("n_id").alias("doc_id"),
+        F.col("rank_k").alias("rank"),
+    )
+    return rrf_fuse(bm, cs, k=10)

@@ -117,6 +117,13 @@ def pq_train(
     return out
 
 
+def load_codebooks(codebooks: DataFrame) -> dict[int, list[tuple[int, list[float]]]]:
+    """Collect trained codebooks into the driver-side dict every ADC
+    call needs (bounded: m*k rows). A serving process calls this once
+    and passes the dict to pq_topk_stored for its whole lifetime."""
+    return _collect_codebooks(codebooks)
+
+
 def _collect_codebooks(codebooks: DataFrame) -> dict[int, list[tuple[int, list[float]]]]:
     books: dict[int, list[tuple[int, list[float]]]] = {}
     for r in codebooks.collect():  # bounded: m*k rows
@@ -227,41 +234,51 @@ def pq_topk_stored(
     norm (folded into the ADC table driver-side) — so rank order
     degrades only with quantization error, not corpus norm spread.
     Recall is MEASURED against the exact brute force in tests and the
-    driver gate, never assumed."""
+    driver gate, never assumed.
+
+    Serving-path cost shape: the probe subplan (query x centroid
+    crossjoin + window) is evaluated ONCE and collected — bounded
+    n_queries x nprobe rows — and everything driver-derived (probed
+    lists, ADC tables, the (q_id, list_id) fan-out) becomes literals,
+    so the executed plan is exactly: pruned index scan -> broadcast
+    joins -> one partial-agg shuffle -> top-k window. `codebooks` may
+    be the training DataFrame or an already-collected dict (a serving
+    process holds its codebooks in memory — pass the dict to avoid one
+    collect job per query batch)."""
     probes = _ivf_probes(queries, centroids, nprobe, id_col, vec_col)
+    prows = probes.collect()  # bounded: n_queries x nprobe (ONE eval)
+    probed = sorted({int(r["list_id"]) for r in prows})
+    qvecs = {int(r["q_id"]): [float(x) for x in r["q_vec"]] for r in prows}
     corpus = store.read(spark)
-    probed = sorted(
-        r["list_id"] for r in probes.select("list_id").distinct().collect()
-    )
     if probed and len(probed) <= prune_max_lists:
         corpus = corpus.filter(F.col("list_id").isin(probed))
 
-    books = _collect_codebooks(codebooks)
-    qrows = [
-        (int(r["q_id"]), [float(x) for x in r["q_vec"]])
-        for r in probes.select("q_id", "q_vec").distinct().collect()
-    ]  # bounded: the query batch (the probe collect's contract)
+    books = (
+        codebooks if isinstance(codebooks, dict)
+        else _collect_codebooks(codebooks)
+    )
     wdf = F.broadcast(
         spark.createDataFrame(
-            adc_weight_rows(qrows, books),
+            adc_weight_rows(sorted(qvecs.items()), books),
             "q_id bigint, sub int, code int, w double",
         )
     )
-
-    cand = (
-        probes.select("q_id", "list_id")
-        .distinct()
-        .join(
-            corpus.select(
-                F.col(id_col).alias("n_id"),
-                F.col("codes"),
-                F.col("vnorm"),
-                F.col("list_id"),
-            ),
-            "list_id",
+    qlists = F.broadcast(
+        spark.createDataFrame(
+            sorted({(int(r["q_id"]), int(r["list_id"])) for r in prows}),
+            "q_id bigint, list_id int",
         )
-        .filter(F.col("q_id") != F.col("n_id"))  # the _ivf_rerank convention
     )
+
+    cand = qlists.join(
+        corpus.select(
+            F.col(id_col).alias("n_id"),
+            F.col("codes"),
+            F.col("vnorm"),
+            F.col("list_id"),
+        ),
+        "list_id",
+    ).filter(F.col("q_id") != F.col("n_id"))  # the _ivf_rerank convention
     scored = (
         cand.select(
             "q_id", "n_id", "vnorm",

@@ -321,3 +321,39 @@ def _py_term_bucket(term: str, n_buckets: int = N_TERM_BUCKETS) -> int:
         ).collect()[0]
         _BUCKET_CACHE[key] = int(row["b"])
     return _BUCKET_CACHE[key]
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # the standard fusion constant (Cormack et al., SIGIR 2009)
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int = 10,
+    rrf_k: int = RRF_K,
+    parts: int = 32,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked lists (the standard hybrid
+    lexical+semantic combiner): each (query_id, doc_id, rank) row
+    contributes 1/(rrf_k + rank); items present in only one list keep
+    their single term. Inputs are top-k lists, so the union is
+    O(queries * k) — the fusion itself never touches the corpus; the
+    only shuffle is the per-(query, doc) sum, and the final top-k is
+    the same salted two-stage as the retrieval scorers.
+
+    Rank-based (not score-based) fusion means the two systems'
+    incomparable score scales never matter — exactly why RRF is the
+    standard baseline — and makes the result exactly reproducible in
+    ANSI SQL (the t04 oracle)."""
+    cols = ["query_id", "doc_id", "rank"]
+    u = ranked_a.select(*cols).unionByName(ranked_b.select(*cols))
+    scores = (
+        u.withColumn("w", F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("rank")))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("w"), 6).alias("score_r"))
+    )
+    return _topk(scores, k, parts)

@@ -71,7 +71,7 @@ def test_indexed_layout_prunes_scan(spark, docs, tmp_path):
     on the postings scan (real I/O skipping), results row-identical to
     the unindexed bm25_topk, and wide query sets regime-switch to a
     plain scan (the ivf_topk_stored / _pruned_feed convention)."""
-    idx, stats = build = R.build_term_index(docs, str(tmp_path / "idx"))
+    idx, stats = R.build_term_index(docs, str(tmp_path / "idx"))
     qs = [(1, "fast merge"), (2, "window the")]
     vocab = sorted({t for _, q in qs for t in q.split()})
     n_buckets = {R._py_term_bucket(t) for t in vocab}
@@ -135,3 +135,31 @@ def test_tfidf_weights(spark, docs):
         1: pytest.approx(round(idf, 6), abs=1e-6),
         5: pytest.approx(round(idf, 6), abs=1e-6),
     }
+
+
+def test_rrf_fuse_hand_checked(spark):
+    """RRF = sum of 1/(60+rank) over the lists an item appears in;
+    single-list items keep one term; ties break by doc_id."""
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id INT, doc_id BIGINT, rank INT",
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)],
+        "query_id INT, doc_id BIGINT, rank INT",
+    )
+    got = {
+        r["doc_id"]: (r["rank"], r["score"])
+        for r in R.rrf_fuse(a, b, k=10).collect()
+    }
+    import pytest as _pt
+
+    # doc 11: rank 2 in a + rank 1 in b -> both terms; others single
+    assert got[11][1] == _pt.approx(round(1 / 62 + 1 / 61, 6), abs=1e-6)
+    assert got[10][1] == _pt.approx(round(1 / 61, 6), abs=1e-6)
+    assert got[13][1] == _pt.approx(round(1 / 62, 6), abs=1e-6)
+    assert got[12][1] == _pt.approx(round(1 / 63, 6), abs=1e-6)
+    # order: 11 (two terms) > 10 (1/61) > 13 (1/62) > 12 (1/63)
+    assert [d for d, (rk, _) in sorted(got.items(), key=lambda x: x[1][0])] == [
+        11, 10, 13, 12
+    ]

@@ -60,13 +60,16 @@ n_vecs = corpus.count()
 
 train = corpus.filter(F.col("vec_id") % 20 == 0)
 cents = SIM.kmeans_centroids(train, n_lists=N_LISTS, iters=3)
-books = PQ.pq_train(train, m=8, k=16, iters=2)
+# serving convention: codebooks collected ONCE (load_codebooks) and held
+# driver-side for the process lifetime — not re-collected per query batch
+books_df = PQ.pq_train(train, m=8, k=16, iters=2)
+books = PQ.load_codebooks(books_df)
 
 t0 = time.time()
 ivf = SIM.ivf_store(corpus, cents, {stage_dir!r} + "/ivf")
 t_build_ivf = time.time() - t0
 t0 = time.time()
-pqs = PQ.pq_store(corpus, cents, books, {stage_dir!r} + "/pq")
+pqs = PQ.pq_store(corpus, cents, books_df, {stage_dir!r} + "/pq")
 t_build_pq = time.time() - t0
 
 def tree_bytes(root):
@@ -106,11 +109,21 @@ def timed(fn, cols, trials=3):
 t_full = timed(full, ["q_id", "n_id", "rank_k"])
 t_pq = timed(pq_run, ["q_id", "n_id", "rank_k"])
 
-# rank-set overlap PQ vs exact full-precision serving (same probed lists)
+# quality on the CLUSTERED synth corpus (generate_embeddings: cluster =
+# vec_id % 64): top-k overlap between PQ and exact ranks is a
+# needle-in-haystack statistic here (each query's true top-10 sit among
+# ~n/64 near-identical same-cluster siblings), so report BOTH overlap
+# and same-cluster precision — the retrieval-quality measure that
+# matters: does the compressed index still send you to the right
+# neighborhood?
 f = full().select("q_id", "n_id")
 p = pq_run().select("q_id", "n_id")
 n_hit = p.join(f, ["q_id", "n_id"], "left_semi").count()
 n_tot = f.count()
+
+def cluster_precision(df):
+    n_same = df.filter(F.col("q_id") % 64 == F.col("n_id") % 64).count()
+    return int(round(n_same * 1000 / max(df.count(), 1)))
 
 out = dict(
     n_vecs=n_vecs, n_lists=N_LISTS, nprobe=NPROBE, k=K, n_queries=n_q,
@@ -121,6 +134,8 @@ out = dict(
     full_serve_sec=round(t_full, 3), pq_serve_sec=round(t_pq, 3),
     speedup=round(t_full / t_pq, 2),
     overlap_milli=int(round(n_hit * 1000 / n_tot)),
+    cluster_precision_full_milli=cluster_precision(f),
+    cluster_precision_pq_milli=cluster_precision(p),
 )
 print("RESULT " + json.dumps(out))
 """
