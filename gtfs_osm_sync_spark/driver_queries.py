@@ -3400,3 +3400,47 @@ def t04(spark, sf_dir):
         F.col("rank_k").alias("rank"),
     )
     return rrf_fuse(bm, cs, k=10)
+
+
+@register(
+    "d15_source_quota",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('quota' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 30
+    """,
+)
+def d15(spark, sf_dir):
+    """Deterministic stratified quota sampling (the curation cap: no
+    source dominates the mixture): at most 30 docs per source, chosen
+    by salted-md5 order — engine-portable, so the oracle re-derives the
+    exact sample. WindowGroupLimit pushes the rank cut below the
+    shuffle (map tasks emit <= n rows per group before the exchange)."""
+    from .operators.text import quota_sample
+
+    (docs,) = load(spark, sf_dir, "documents")
+    return quota_sample(docs, "source", 30).select("doc_id", "source")
+
+
+@register(
+    "e04_token_histogram",
+    """
+    SELECT source, CAST(floor(len(string_split(text, ' ')) / 8) AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY source, bucket
+    """,
+)
+def e04(spark, sf_dir):
+    """Token-length histogram per source (dataset-shape report:
+    truncation budgets, outliers). Codegen bucket expression + one
+    partial-agg shuffle over a tiny (source, bucket) key space."""
+    from .operators.text import token_histogram
+
+    (docs,) = load(spark, sf_dir, "documents")
+    return token_histogram(docs)

@@ -8,7 +8,7 @@ whatever aggregation the caller adds).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import word_shingles
@@ -124,4 +124,56 @@ def fingerprint(
     sk = F.slice(hashes, 1, keep)
     return df.select(
         F.col(id_col), F.md5(F.concat_ws("|", sk)).alias("fingerprint")
+    )
+
+
+def quota_sample(
+    df: DataFrame,
+    group_col: str = "source",
+    n_per_group: int = 30,
+    id_col: str = "doc_id",
+    salt: str = "quota",
+) -> DataFrame:
+    """Deterministic stratified quota sampling: keep at most
+    `n_per_group` rows per group, chosen by a salted-hash order — the
+    standard curation cap ("no domain dominates the training mix").
+
+    The order key is md5(salt || id): uniform, reproducible, and
+    engine-portable (Spark and DuckDB produce identical lowercase hex,
+    so the driver oracle re-derives the exact same sample). One
+    row_number window per group — at 100 TB the heavy groups are the
+    point (that's what the cap is FOR), and rank-until-n is the
+    cheapest formulation: Catalyst's WindowGroupLimit pushes the
+    rank <= n cut below the shuffle, so each map task emits at most n
+    rows per group it sees before the exchange.
+
+    Changing `salt` re-draws the sample without touching the data —
+    the knob a curation pipeline turns between mixture versions."""
+    key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_group)
+        .drop("_rn")
+    )
+
+
+def token_histogram(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str | None = "source",
+    bucket_width: int = 8,
+) -> DataFrame:
+    """Token-length histogram per group: (group, bucket, n_docs) where
+    bucket = floor(token_count / bucket_width) — the dataset-shape
+    report every curation run starts from (truncation/padding budgets,
+    outlier detection). Pure codegen expressions + one partial-agg
+    shuffle on (group, bucket) — a tiny key space however large the
+    corpus."""
+    toks = F.size(F.split(F.col(text_col), " "))
+    bucket = F.floor(toks / F.lit(bucket_width)).cast("int")
+    keys = ([F.col(group_col)] if group_col else []) + [bucket.alias("bucket")]
+    return (
+        df.groupBy(*keys)
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
     )
