@@ -54,8 +54,11 @@ def _dist2(a: Column, b: Column) -> Column:
 
 def _best_code_expr(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
     """Map-only argmin-L2 over a LITERAL sub-codebook (the
-    _best_list_expr pattern with the metric PQ needs). Strict `<` keeps
-    the first (lowest) code on ties — pinned, so encodes are
+    _best_list_expr pattern with the metric PQ needs). transform +
+    array_min evaluates each code's distance ONCE (a fold with the
+    distance in both the condition and the kept struct would pay it
+    twice — review finding r6); array_min's lexicographic (d, code)
+    compare keeps the lowest code on ties, so encodes are
     deterministic across mechanisms and runs."""
     arr = F.array(
         *[
@@ -66,13 +69,13 @@ def _best_code_expr(vec: Column, cents: list[tuple[int, list[float]]]) -> Column
             for code, cv in cents
         ]
     )
-    return F.aggregate(
-        arr,
-        F.struct(F.lit(float("inf")).alias("d"), F.lit(-1).alias("code")),
-        lambda acc, c: F.when(
-            _dist2(vec, c["c_vec"]) < acc["d"],
-            F.struct(_dist2(vec, c["c_vec"]).alias("d"), c["code"].alias("code")),
-        ).otherwise(acc),
+    return F.array_min(
+        F.transform(
+            arr,
+            lambda c: F.struct(
+                _dist2(vec, c["c_vec"]).alias("d"), c["code"].alias("code")
+            ),
+        )
     )["code"]
 
 
@@ -219,6 +222,7 @@ def pq_topk_stored(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     prune_max_lists: int = 256,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """ADC top-k against a pq_store index: the query batch's probed
     lists prune the partitioned scan (In(list_id) PartitionFilters,
@@ -278,7 +282,13 @@ def pq_topk_stored(
             F.col("list_id"),
         ),
         "list_id",
-    ).filter(F.col("q_id") != F.col("n_id"))  # the _ivf_rerank convention
+    )
+    if exclude_self:
+        # the _ivf_rerank convention — correct when queries come FROM
+        # the corpus (dedup/eval); pass exclude_self=False when query
+        # ids live in a different namespace, where a numeric collision
+        # would silently drop a true neighbor (review finding r6)
+        cand = cand.filter(F.col("q_id") != F.col("n_id"))
     scored = (
         cand.select(
             "q_id", "n_id", "vnorm",

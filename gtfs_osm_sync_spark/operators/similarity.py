@@ -291,9 +291,14 @@ def _ivf_rerank(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact cosine re-rank of each query against its probed lists'
-    candidates (broadcast probes, per-side norm precompute)."""
+    candidates (broadcast probes, per-side norm precompute).
+    exclude_self drops q_id == n_id pairs — correct when queries come
+    FROM the corpus; pass False when query ids live in a different
+    namespace (a numeric collision would silently drop a true
+    neighbor)."""
     # per-side norm precompute (see brute_force_topk): the candidate
     # re-rank — the O(corpus/n_lists * nprobe) hot path — folds once
     cand = corpus_assigned.select(
@@ -302,9 +307,9 @@ def _ivf_rerank(
         norm(F.col(vec_col)).alias("n_norm"),
         "list_id",
     )
-    pairs = cand.join(F.broadcast(probes), "list_id").filter(
-        F.col("q_id") != F.col("n_id")
-    )
+    pairs = cand.join(F.broadcast(probes), "list_id")
+    if exclude_self:
+        pairs = pairs.filter(F.col("q_id") != F.col("n_id"))
     scored = pairs.withColumn(
         "sim",
         F.round(
@@ -379,6 +384,7 @@ def ivf_topk_stored(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     prune_max_lists: int = 256,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF search against an ivf_store index with STORAGE-level list
     pruning: the query batch's probed list ids (a bounded driver
@@ -403,7 +409,7 @@ def ivf_topk_stored(
     )
     if probed and len(probed) <= prune_max_lists:
         corpus = corpus.filter(F.col("list_id").isin(probed))
-    return _ivf_rerank(probes, corpus, k, id_col, vec_col)
+    return _ivf_rerank(probes, corpus, k, id_col, vec_col, exclude_self)
 
 
 def lsh_topk_multiprobe(

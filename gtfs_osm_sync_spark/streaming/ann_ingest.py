@@ -73,7 +73,13 @@ def stream_ivf_ingest(
             "checkpoint, batch_id restarts at 0 on re-run and the "
             "effectively-once ledger would skip fresh batches (data loss)"
         )
-    cents = centroids.select("list_id", vec_col).localCheckpoint()
+    # pin the centroid SNAPSHOT driver-side (bounded: n_lists rows):
+    # a localCheckpoint would park non-replicated blocks on executors,
+    # where a continuous stream loses them on any executor loss — a
+    # LocalTableScan rebuilt from collected rows survives (review
+    # finding r6)
+    crows = centroids.select("list_id", vec_col).collect()
+    cents = spark.createDataFrame(crows, centroids.select("list_id", vec_col).schema)
     index_t = SnapTable(f"{root}/index", partition_by="list_id")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:

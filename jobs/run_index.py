@@ -43,6 +43,8 @@ def _spark() -> SparkSession:
 
 def build(args) -> None:
     import math
+    import os
+    import shutil
 
     from gtfs_osm_sync_spark.operators.pq import pq_store, pq_train
     from gtfs_osm_sync_spark.operators.similarity import (
@@ -50,12 +52,32 @@ def build(args) -> None:
         kmeans_centroids,
     )
 
+    # a re-run into an existing index would APPEND rows assigned against
+    # the OLD centroids while overwriting _centroids with NEW ones —
+    # duplicates plus silent recall collapse. Refuse, or rebuild from
+    # scratch under --overwrite (an index rebuild is by definition a new
+    # store; atomic cut-over between roots is the production pattern).
+    if os.path.exists(os.path.join(args.index, "data")):
+        if not args.overwrite:
+            raise SystemExit(
+                f"index {args.index} already exists — pass --overwrite to "
+                "rebuild (appending against re-trained centroids would "
+                "corrupt the assignment)"
+            )
+        shutil.rmtree(args.index, ignore_errors=True)
+
     spark = _spark()
     t0 = time.time()
     vecs = spark.read.parquet(args.vecs)
     n = vecs.count()
     n_lists = args.n_lists or max(int(math.sqrt(n)), 4)
     train = vecs.sample(fraction=min(args.train_frac, 1.0), seed=7)
+    # the sample must comfortably cover the centroid count (an empty or
+    # thin sample trains empty/degenerate lists with no error anywhere):
+    # fall back to the full corpus when the expected draw is too small
+    min_train = 10 * max(n_lists, args.pq_k if args.pq else 0)
+    if n * min(args.train_frac, 1.0) < min_train:
+        train = vecs
     cents = kmeans_centroids(train, n_lists=n_lists, iters=args.iters)
     cents.write.mode("overwrite").parquet(f"{args.index}/_centroids")
     if args.pq:
@@ -88,18 +110,24 @@ def search(args) -> None:
     cents = spark.read.parquet(f"{args.index}/_centroids")
     store = SnapTable(f"{args.index}/data")
     q = spark.read.parquet(args.queries)
-    try:
-        books_df = spark.read.parquet(f"{args.index}/_codebooks")
-        is_pq = True
-    except Exception:
-        is_pq = False
+    # the index is self-describing by PATH, not by exception: a transient
+    # read failure must fail the job, never silently reroute a PQ index
+    # to the full-precision path (or vice versa)
+    import os
+
+    is_pq = os.path.isdir(f"{args.index}/_codebooks")
+    exclude_self = not args.include_self
     if is_pq:
+        books_df = spark.read.parquet(f"{args.index}/_codebooks")
         got = pq_topk_stored(
             spark, q, store, cents, load_codebooks(books_df),
-            k=args.k, nprobe=args.nprobe,
+            k=args.k, nprobe=args.nprobe, exclude_self=exclude_self,
         )
     else:
-        got = ivf_topk_stored(spark, q, store, cents, k=args.k, nprobe=args.nprobe)
+        got = ivf_topk_stored(
+            spark, q, store, cents, k=args.k, nprobe=args.nprobe,
+            exclude_self=exclude_self,
+        )
     got.write.mode("overwrite").parquet(args.out)
     n_rows = spark.read.parquet(args.out).count()
     print(
@@ -128,12 +156,19 @@ def main() -> None:
     b.add_argument("--pq", action="store_true")
     b.add_argument("--pq-m", type=int, default=8)
     b.add_argument("--pq-k", type=int, default=16)
+    b.add_argument("--overwrite", action="store_true")
     s = sub.add_parser("search")
     s.add_argument("--index", required=True)
     s.add_argument("--queries", required=True)
     s.add_argument("--out", required=True)
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--nprobe", type=int, default=8)
+    s.add_argument(
+        "--include-self", action="store_true",
+        help="keep q_id == n_id pairs (query ids are a DIFFERENT "
+        "namespace than corpus ids; the default exclusion is for "
+        "queries drawn from the corpus itself)",
+    )
     args = ap.parse_args()
     if args.cmd == "build":
         build(args)
