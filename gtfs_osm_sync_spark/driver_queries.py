@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from .functions.geo import haversine_m_col, haversine_sql
+from .functions.geo import EARTH_RADIUS_M, haversine_m_col, haversine_sql
 from .functions.cells import grid_cell_col, grid_cell_sql
 
 # ---------------------------------------------------------------------------
@@ -88,12 +88,37 @@ def with_synth_coords(df: DataFrame, key: str, lat: str = "lat", lon: str = "lon
     )
 
 
-# Covering proof: grid cell is 0.5 deg; ground width of one lon cell at the
-# max |lat|=60 of the synth coords is 55.6 km * cos(60) = 27.8 km > RADIUS_M,
-# and one lat cell is 55.6 km > RADIUS_M, so the 3x3 neighborhood covers the
-# 20 km radius everywhere in the data's range.
-GRID_DEG = 0.5
+# Covering proof (r7, asymmetric grid sized to the radius instead of a
+# square 0.5 deg — ~3.9x fewer candidate pairs reach the distance code):
+# haversine d >= R*|dlat_rad|, so d < 20 km implies |dlat| < 0.179865 deg
+# < GRID_LAT_DEG; and d >= 2R*asin(sqrt(cos(lat1)cos(lat2))*|sin(dlon/2)|)
+# with |lat| <= 58 deg in the synth range implies |dlon| < 0.339419 deg
+# < GRID_LON_DEG. Hence any in-radius pair differs by at most one cell
+# index per axis and the 3x3 neighborhood covers the 20 km radius.
+GRID_LAT_DEG = 0.185
+GRID_LON_DEG = 0.35
 RADIUS_M = 20_000.0
+
+# Conservative pair-level bbox prefilter (evaluated BEFORE any trig in the
+# join condition; guide §2.3 "shuffle/compute fewer bytes"): d < RADIUS_M
+# implies |dlat| <= 0.17986407 deg (bound above) and
+# dlon^2 * cos(lat1)*cos(lat2) <= (0.17986659 deg)^2 (the asin/sin bound
+# above with the sin(x) >= 0.999986*x linearization valid for the <= 1.05
+# deg dlon a 3x3 candidate can have). False keeps are discarded by the
+# exact haversine; no true pair can be dropped.
+_PRE_DLAT_DEG = 0.1798641
+_PRE_DLON2_DEG2 = 0.03235201
+
+
+def _ring_cell(lat, lon):
+    """Asymmetric floor-grid cell key (lat-row * 400000 + lon-col).
+
+    Local to the ring join; lon cols span [-458, 366] so rows never
+    collide under the 400000 packing."""
+    return (
+        F.floor(lat / F.lit(GRID_LAT_DEG)) * F.lit(400000)
+        + F.floor(lon / F.lit(GRID_LON_DEG))
+    ).cast("long")
 
 
 def _grid_ring_join(
@@ -106,13 +131,23 @@ def _grid_ring_join(
     the exact haversine predicate filters. Catalyst broadcasts the small
     exploded side; at 100 TB the same plan shuffles on `cell` with AQE
     skew splitting.
+
+    r7 optimization (guide §1.2 step 1 + §2.3): the grid is sized to the
+    radius per axis (see covering proof above) so ~3.9x fewer candidates
+    enter the join, a cheap bbox prefilter rejects most survivors before
+    any trig runs, and cos(radians(lat)) is hoisted to one evaluation per
+    ROW instead of two per PAIR. dist_m is bit-identical to the previous
+    formulation (same expression tree, the cos factors are merely
+    materialized per side).
     """
-    lcell = left.withColumn("cell", grid_cell_col(F.col("lat"), F.col("lon"), GRID_DEG))
+    lcell = left.withColumn("cell", _ring_cell(F.col("lat"), F.col("lon"))).withColumn(
+        "_coslat", F.cos(F.radians(F.col("lat")))
+    )
     offs = F.expr(
         "explode(array(-400001,-400000,-399999,-1,0,1,399999,400000,400001))"
     )
     rcell = (
-        right.withColumn("base_cell", grid_cell_col(F.col("lat"), F.col("lon"), GRID_DEG))
+        right.withColumn("base_cell", _ring_cell(F.col("lat"), F.col("lon")))
         .withColumn("off", offs)
         .withColumn("cell", F.col("base_cell") + F.col("off"))
         .drop("base_cell", "off")
@@ -121,10 +156,33 @@ def _grid_ring_join(
         F.col("cell"),
         F.col("lat").alias("r_lat"),
         F.col("lon").alias("r_lon"),
-        *[F.col(c) for c in rcell.columns if c not in ("cell", "lat", "lon")],
+        F.cos(F.radians(F.col("lat"))).alias("_r_coslat"),
+        *[
+            F.col(c)
+            for c in rcell.columns
+            if c not in ("cell", "lat", "lon")
+        ],
     )
-    joined = lcell.join(F.broadcast(r), "cell").withColumn(
-        "dist_m", haversine_m_col(F.col("lat"), F.col("lon"), F.col("r_lat"), F.col("r_lon"))
+    dlat = F.col("r_lat") - F.col("lat")
+    dlon = F.col("r_lon") - F.col("lon")
+    cosprod = F.col("_coslat") * F.col("_r_coslat")
+    pre = (F.abs(dlat) < F.lit(_PRE_DLAT_DEG)) & (
+        dlon * dlon * cosprod < F.lit(_PRE_DLON2_DEG2)
+    )
+    # same haversine expression tree as functions.geo.haversine_m_col with
+    # the two COS(RADIANS(lat)) factors replaced by the per-row columns —
+    # identical double results, half the per-pair trig.
+    dist = F.lit(2.0 * EARTH_RADIUS_M) * F.asin(
+        F.sqrt(
+            F.pow(F.sin(F.radians(dlat) / 2.0), 2)
+            + cosprod * F.pow(F.sin(F.radians(dlon) / 2.0), 2)
+        )
+    )
+    joined = (
+        lcell.join(F.broadcast(r), "cell")
+        .filter(pre)
+        .withColumn("dist_m", dist)
+        .drop("_coslat", "_r_coslat")
     )
     return joined
 
@@ -318,6 +376,15 @@ def q08(spark, sf_dir):
     """RouteVariant dedup: identical ordered item sequences collapse
     (A4/A5, GTFSReadIn.java:384-407,434-464; RouteVariant.java:123-126)."""
     (li,) = load(spark, sf_dir, "lineitem")
+    # r7: pack (l_linenumber, l_partkey) into ONE bigint — linenumber in
+    # the top bits, partkey (< 2^56 at any TPC-H scale) below — so the
+    # collect_list buffer/shuffle carries primitive longs instead of
+    # 2-field structs and array_sort compares longs, not struct ordinals
+    # (guide §2.3 narrower types). Lexicographic (linenumber, partkey)
+    # order == numeric order of the packed value since both are
+    # non-negative, so the sorted partkey sequence — and the md5 — are
+    # unchanged.
+    enc = F.col("l_linenumber").cast("long") * F.lit(1 << 56) + F.col("l_partkey")
     seqs = (
         li.groupBy("l_orderkey")
         .agg(
@@ -325,10 +392,8 @@ def q08(spark, sf_dir):
                 F.concat_ws(
                     ",",
                     F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("l_linenumber", "l_partkey"))
-                        ),
-                        lambda x: x["l_partkey"].cast("string"),
+                        F.array_sort(F.collect_list(enc)),
+                        lambda x: (x % F.lit(1 << 56)).cast("string"),
                     ),
                 )
             ).alias("variant_sig")
