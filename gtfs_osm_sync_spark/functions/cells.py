@@ -446,3 +446,76 @@ def grid_cell_col(lat, lon, cell_deg: float) -> "F.Column":
 
 def grid_cell_sql(lat: str, lon: str, cell_deg: float) -> str:
     return f"(CAST(floor(({lat}) / {cell_deg!r}) AS BIGINT) * 400000 + CAST(floor(({lon}) / {cell_deg!r}) AS BIGINT))"
+
+
+# ---------------------------------------------------------------------------
+# JVM-only radius-covering grid (r7): candidate generation for radius
+# joins without the Python hex-ring boundary
+# ---------------------------------------------------------------------------
+#
+# The hex k-ring UDF above is geometry-faithful but pays two scale costs
+# in a radius-join prejoin: an Arrow round-trip per exploded side, and a
+# ring of 37-91 cells per row at res 9 for a 400 m radius. A plain
+# floor grid whose cell height equals the radius needs only 3 lat-rows,
+# and an ADAPTIVE number of lon-columns derived from the row's latitude
+# (3 below |lat| 47, 5 at 60, growing toward the poles where meridians
+# converge) — all computable as codegen'd Column arithmetic. Covering
+# argument (for the set {pairs: haversine < radius_m}):
+#   - d >= R*|dlat| so |dlat| < deg(r/R) < GLAT (GLAT has a 5% margin)
+#     => lat row indices differ by at most 1;
+#   - d >= 2R*asin(sqrt(cos(lat1)cos(lat2))*|sin(dlon/2)|) and
+#     |lat_other| <= |lat_row| + GLAT give
+#     |dlon| <= 2*deg(asin(sin(r/2R)/cos(|lat|+GLAT))) = B
+#     => lon col indices differ by at most floor(B/GLAT)+1 = k.
+#   When the asin argument reaches 1 (polar rows) B degenerates to 360
+#   and the row covers the whole lon range — correct, never wrong, and
+#   only hit within ~GLAT of a pole.
+# The exact distance predicate downstream remains the only filter that
+# decides membership; the grid only proposes candidates.
+
+_COVER_STRIDE = 1 << 21  # lon-index packing stride (|lonidx| < 2^20 for any radius >= 70 m)
+
+
+def cover_grid_deg(radius_m: float) -> float:
+    """Cell size (degrees of latitude) for cover_cell_col/cover_cells_col."""
+    return math.degrees(radius_m / 6371008.8) * 1.05
+
+
+def cover_cell_col(lat, lon, radius_m: float) -> "F.Column":
+    """Exact covering-grid cell of a point (the probe/stream side)."""
+    g = cover_grid_deg(radius_m)
+    return (
+        F.floor(lat / F.lit(g)) * F.lit(_COVER_STRIDE) + F.floor(lon / F.lit(g))
+    ).cast("long")
+
+
+def cover_cells_col(lat, lon, radius_m: float) -> "F.Column":
+    """Array of every covering-grid cell whose points can lie within
+    radius_m (haversine) of this point (the exploded/build side)."""
+    g = cover_grid_deg(radius_m)
+    base = cover_cell_col(lat, lon, radius_m)
+    # B = conservative |dlon| bound in degrees for a partner point; the
+    # asin argument is clamped: >= 1 (near-polar) degenerates to the
+    # whole lon range.
+    sin_half = math.sin(radius_m / (2.0 * 6371008.8))
+    arg = F.lit(sin_half) / F.cos(
+        F.radians(F.least(F.abs(lat) + F.lit(g), F.lit(89.9999)))
+    )
+    b_deg = F.when(
+        arg < 1.0, F.degrees(F.asin(arg)) * F.lit(2.0)
+    ).otherwise(F.lit(360.0))
+    k = F.least(
+        (F.floor(b_deg / F.lit(g)) + F.lit(1)),
+        F.lit(int(180.0 / g) + 1),
+    ).cast("int")
+    row = F.sequence(-k, k)
+    return F.flatten(
+        F.transform(
+            row,
+            lambda o: F.array(
+                base - F.lit(_COVER_STRIDE) + o.cast("long"),
+                base + o.cast("long"),
+                base + F.lit(_COVER_STRIDE) + o.cast("long"),
+            ),
+        )
+    )

@@ -54,18 +54,32 @@ becomes two hash joins.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from ..functions.geo import haversine_m_col, vincenty_m_udf
+from ..functions.geo import EARTH_RADIUS_M, haversine_m_col, vincenty_m_udf
 from ..functions.mappings import zero_pad_id
 from ..operators.spatial_join import HEX_RES
-from ..functions.cells import make_hex_cell_udf, make_hex_ring_adaptive_udf
+from ..functions.cells import cover_cell_col, cover_cells_col
 
 RANGE_M = 400.0  # CompareData.java:129
 ERROR_TO_ZERO_M = 0.5  # CompareData.java:127
 FIXME_REDUNDANT = "This bus stop could be redundant"  # CompareData.java:1155
+
+# r7: Vincenty(WGS-84) vs haversine(R = 6371008.8 mean) bounds for SHORT
+# distances — the local ellipsoid metric ds^2 = M^2 dphi^2 + N^2 cos^2
+# phi dlambda^2 has curvature radii M in [6335439, 6399594] and N in
+# [6378137, 6399594], so vincenty/haversine lies in [6335439/R,
+# 6399594/R]. Second-order corrections are O((d/R)^2) ~ 4e-9 at 400 m,
+# far inside the margins these constants carry. They let a band test on
+# the cheap haversine CLASSIFY most pairs exactly (certainly-in /
+# certainly-out of a Vincenty threshold), reserving the Python Vincenty
+# kernel for the thin ambiguity shells around each threshold.
+_VIN_OVER_HAV_MIN = 0.99442
+_VIN_OVER_HAV_MAX = 1.00449
 
 
 def operator_gate(op_col, agency_names: list[str], alias_regexes: list[str] | None = None):
@@ -168,6 +182,7 @@ def _probe_pairs(
     radius_m: float,
     b,
     known_ids: DataFrame | None = None,
+    max_pre_m: float | None = None,
 ):
     """Cell-prejoin radius join between the UNMATCHED stops and the
     FOREIGN nodes (gtfs_id absent / 'missing' / known to NO stop in the
@@ -186,32 +201,180 @@ def _probe_pairs(
     known_ids: the id UNIVERSE that defines foreign-ness. Defaults to the
     stop frame g; pass the FULL feed's ids when g is a subset (the
     incremental-sync delta path re-compares only affected stops, but a
-    node carrying some other stop's valid id is still not foreign)."""
+    node carrying some other stop's valid id is still not foreign).
+
+    r7 (guide §2.3/§8 "decide with small rows"): the stop side entering
+    the candidate join is SLIMMED to (gtfs_id, lat, lon[,
+    public_transport]) — the full stop row (g_tags map, raw strings)
+    used to ride the ring-cell explosion into the hash-join BUILD side,
+    which at 2M stops was a multi-GB build that thrashed execution
+    memory (observed: 'Can't acquire 536870912 bytes to build hash
+    relation' and a 48-146 s wall spread). Downstream branches that need
+    the full stop row (the adoption branch) re-attach it by gtfs_id to
+    the tiny <= 0.5 m subset. A conservative bbox prefilter (no trig)
+    also now runs before the haversine prefilter, which runs before the
+    exact Vincenty — three stages, each feeding the next only its
+    survivors; the kept pair set is unchanged (every bound is
+    conservative for the stage after it)."""
     gids = (known_ids if known_ids is not None else g).select(
         F.col("gtfs_id").alias("osm_gtfs_id")
     ).distinct()
     fn = n.join(b(gids), "osm_gtfs_id", "left_anti")
-    hexc = make_hex_cell_udf(HEX_RES)
-    ring = make_hex_ring_adaptive_udf(radius_m, HEX_RES)
-    u = unmatched.withColumn("_c", hexc("lat", "lon")).withColumn(
-        "hex_cell", F.explode(ring(F.col("_c"), F.col("lat")))
+    # r7: candidate cells come from the JVM covering grid
+    # (functions.cells.cover_cells_col) instead of the hex k-ring pandas
+    # UDF — same covering contract, but 9-15 cells per stop instead of
+    # 37-91 at res 9, zero Python in the prejoin, and the whole stage
+    # codegens (guide §4.1 "prefer built-ins"). The grid is sized for
+    # the haversine-prefilter keep set (radius * 1.01), which contains
+    # every Vincenty-true pair.
+    r_cover = radius_m * 1.01
+    slim_cols = ["gtfs_id", "lat", "lon"] + (
+        ["public_transport"] if "public_transport" in unmatched.columns else []
     )
-    fn = fn.withColumn("hex_cell", hexc("o_lat", "o_lon"))
+    u = (
+        unmatched.select(*slim_cols)
+        .withColumn(
+            "_pcell", F.explode(cover_cells_col(F.col("lat"), F.col("lon"), r_cover))
+        )
+        .withColumn("_s_coslat", F.cos(F.radians(F.col("lat"))))
+    )
+    fn = fn.withColumn(
+        "_pcell", cover_cell_col(F.col("o_lat"), F.col("o_lon"), r_cover)
+    ).withColumn("_n_coslat", F.cos(F.radians(F.col("o_lat"))))
+    # bbox bounds conservative for {haversine < radius_m * 1.01} (the
+    # stage-2 keep set): d >= R|dlat|, and the lon test only applies
+    # under the |dlon| < 1 deg guard where sin(x) >= 0.9999874*x holds.
+    r_eff = radius_m * 1.01
+    dlat_bound = math.degrees(r_eff / EARTH_RADIUS_M) * 1.0000001
+    dlon_bound2 = (math.degrees((r_eff / EARTH_RADIUS_M) / 0.9999874) * 1.0000001) ** 2
+    dlat = F.col("o_lat") - F.col("lat")
+    dlon = F.col("o_lon") - F.col("lon")
+    cosprod = F.col("_s_coslat") * F.col("_n_coslat")
+    bbox = (F.abs(dlat) < F.lit(dlat_bound)) & (
+        (dlon * dlon * cosprod < F.lit(dlon_bound2)) | (F.abs(dlon) >= F.lit(1.0))
+    )
     # broadcast the STOP side: unmatched stops x ring cells is bounded
     # (a transit feed), the foreign-node layer is not — it streams through
     # the hash join like the id-match scan
-    return (
-        fn.join(b(u), "hex_cell")
+    out = (
+        fn.join(b(u), "_pcell")
+        .filter(bbox)
         .withColumn(
             "_pre", haversine_m_col(F.col("lat"), F.col("lon"), F.col("o_lat"), F.col("o_lon"))
         )
         .filter(F.col("_pre") < radius_m * 1.01)
-        .withColumn(
+    )
+    # optional caller-supplied haversine band cap (r7): a consumer that
+    # only needs pairs below some Vincenty threshold T passes
+    # max_pre_m = T / 0.99442 so the Python kernel sees just that band
+    if max_pre_m is not None:
+        out = out.filter(F.col("_pre") <= max_pre_m)
+    return (
+        out.withColumn(
             "dist_m", vincenty_m_udf(F.col("o_lat"), F.col("o_lon"), F.col("lat"), F.col("lon"))
         )
         .filter(F.col("dist_m") < radius_m)
-        .drop("_c", "_pre", "hex_cell")
+        .drop("_pre", "_pcell", "_s_coslat", "_n_coslat")
     )
+
+
+def _conflict_stop_ids(
+    g: DataFrame,
+    n: DataFrame,
+    unmatched: DataFrame,
+    radius_m: float,
+    b,
+    known_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Distinct gtfs_ids of unmatched stops with at least one FOREIGN
+    node at Vincenty distance in (ERROR_TO_ZERO_M, radius_m) — the
+    UPLOAD_CONFLICT evidence — computed as EXISTENCE, not as a pair
+    materialization (r7, guide §1.2 step 1).
+
+    Why: the conflict branch only ever consumed
+    `pairs.select(gtfs_id).distinct()`, yet the dense-city worst case
+    yields ~10^9 candidate pairs and ~10^8 true ones, all of which
+    previously crossed the Python Vincenty kernel. Here:
+
+    1. a LEFT SEMI cell join with the whole predicate in the join
+       condition — bbox, then haversine inside the CERTAIN band
+       (hav in (ERROR_TO_ZERO/0.99442, radius/1.00449), where the
+       curvature bounds guarantee the Vincenty classification) — marks
+       a stop as conflicted at its FIRST qualifying node, without
+       emitting pairs or calling Python;
+    2. only stops with NO certain pair (geometrically: all their
+       candidates within ~6 mm of the 0.5 m threshold or ~6 m of the
+       400 m threshold) fall through to an exact Vincenty refinement
+       over their shell pairs. Any pair with vin in (0.5, 400) has
+       hav in (0.5/1.00449, 400/0.99442), which the certain band plus
+       the two shells cover completely, so the returned id set is
+       identical to the pair-based one.
+
+    The node side ships only coordinates (existence needs nothing
+    else); both joins hash the node side by cell so the per-row probe
+    is bucket-local."""
+    gids = (known_ids if known_ids is not None else g).select(
+        F.col("gtfs_id").alias("osm_gtfs_id")
+    ).distinct()
+    r_cover = radius_m * 1.01
+    fn = (
+        n.join(b(gids), "osm_gtfs_id", "left_anti")
+        .select("o_lat", "o_lon")
+        .withColumn("_pcell_n", cover_cell_col(F.col("o_lat"), F.col("o_lon"), r_cover))
+        .withColumn("_n_coslat", F.cos(F.radians(F.col("o_lat"))))
+        .hint("shuffle_hash")
+    )
+    u = (
+        unmatched.select("gtfs_id", "lat", "lon")
+        .withColumn(
+            "_pcell", F.explode(cover_cells_col(F.col("lat"), F.col("lon"), r_cover))
+        )
+        .withColumn("_s_coslat", F.cos(F.radians(F.col("lat"))))
+    )
+    dlat = F.col("o_lat") - F.col("lat")
+    dlon = F.col("o_lon") - F.col("lon")
+    cosprod = F.col("_s_coslat") * F.col("_n_coslat")
+    dlat_bound = math.degrees(r_cover / EARTH_RADIUS_M) * 1.0000001
+    dlon_bound2 = (math.degrees((r_cover / EARTH_RADIUS_M) / 0.9999874) * 1.0000001) ** 2
+    bbox = (F.abs(dlat) < F.lit(dlat_bound)) & (
+        (dlon * dlon * cosprod < F.lit(dlon_bound2)) | (F.abs(dlon) >= F.lit(1.0))
+    )
+    pre = haversine_m_col(F.col("lat"), F.col("lon"), F.col("o_lat"), F.col("o_lon"))
+    cell_eq = F.col("_pcell") == F.col("_pcell_n")
+    lo_sure = ERROR_TO_ZERO_M / _VIN_OVER_HAV_MIN  # hav above => vin > ERROR_TO_ZERO
+    hi_sure = radius_m / _VIN_OVER_HAV_MAX  # hav below => vin < radius
+    lo_shell = ERROR_TO_ZERO_M / _VIN_OVER_HAV_MAX  # hav below => vin <= ERROR_TO_ZERO
+    hi_shell = radius_m / _VIN_OVER_HAV_MIN  # hav above => vin >= radius
+
+    sure = (
+        u.join(
+            fn,
+            cell_eq & bbox & (pre > F.lit(lo_sure)) & (pre < F.lit(hi_sure)),
+            "left_semi",
+        )
+        .select("gtfs_id")
+        .distinct()
+    )
+    amb = u.join(b(sure), "gtfs_id", "left_anti")
+    shell_refined = (
+        amb.join(
+            fn,
+            cell_eq
+            & bbox
+            & (pre >= F.lit(lo_shell))
+            & (pre <= F.lit(hi_shell))
+            & ((pre <= F.lit(lo_sure)) | (pre >= F.lit(hi_sure))),
+            "inner",
+        )
+        .withColumn(
+            "dist_m",
+            vincenty_m_udf(F.col("o_lat"), F.col("o_lon"), F.col("lat"), F.col("lon")),
+        )
+        .filter((F.col("dist_m") > ERROR_TO_ZERO_M) & (F.col("dist_m") < radius_m))
+        .select("gtfs_id")
+        .distinct()
+    )
+    return sure.unionByName(shell_refined).distinct()
 
 
 def compare_stops(
@@ -257,8 +420,21 @@ def compare_stops(
     # the stop side is the SMALL side at any scale (a transit feed is
     # 10^3-10^6 stops; the node layer is unbounded): broadcast it so the
     # id match is a map-side hash join over the node scan, never an SMJ
+    # r7: haversine prefilter before the Vincenty Python boundary (guide
+    # §4 — fewer rows cross it). Vincenty(WGS-84) and haversine(R mean)
+    # agree within the min/max local curvature ratio [0.9944, 1.0045], so
+    # vincenty < radius implies haversine < radius*1.006 — the 1.01
+    # tolerance (the same one _probe_pairs has always used) can never
+    # drop a true match; far pairs (e.g. a stale id 2.5 km away) skip
+    # the Python round-trip entirely.
     idm = (
         b(g).join(n, g["gtfs_id"] == n["osm_gtfs_id"])
+        .withColumn(
+            "_hpre",
+            haversine_m_col(F.col("lat"), F.col("lon"), F.col("o_lat"), F.col("o_lon")),
+        )
+        .filter(F.col("_hpre") < radius_m * 1.01)
+        .drop("_hpre")
         .withColumn(
             "dist_m", vincenty_m_udf(F.col("o_lat"), F.col("o_lon"), F.col("lat"), F.col("lon"))
         )
@@ -279,12 +455,29 @@ def compare_stops(
         ).otherwise(F.lit("MODIFY")),
     )
 
-    matched_ids = b(best.select("gtfs_id"))
-    unmatched = g.join(matched_ids, "gtfs_id", "left_anti")
+    # r7: the matched-id set is a NARROW persisted frame (distinct ids of
+    # the Vincenty-confirmed join — identical to best's id set, since the
+    # first-wins window only picks among rows of one id). Every unmatched/
+    # rest/probe consumer previously re-ran the id-match join + Vincenty
+    # UDF subtree (Spark reuses exchanges, not operator subtrees between
+    # them); now the full idm tree runs once for the output branch and the
+    # other branches anti-join against ~bytes-per-stop of persisted ids.
+    # The persist is an intra-invocation intermediate (recomputed on every
+    # call; the ContextCleaner reclaims it when the frame is dropped).
+    matched_ids = idm.select("gtfs_id").distinct().persist()
+    unmatched = g.join(b(matched_ids), "gtfs_id", "left_anti")
 
-    # ---- radius probe over the unmatched stops: feeds BOTH the
-    # same-location adoption branch (<= 0.5 m) and the conflict branch
-    pairs = _probe_pairs(g, n, unmatched, radius_m, b, known_ids)
+    # ---- radius probe over the unmatched stops (r7): the conflict
+    # branch is now existence-only (_conflict_stop_ids — no pair
+    # materialization, Python Vincenty only on ambiguity shells), so the
+    # exact pair probe survives ONLY for the adoption branch, band-capped
+    # to the <= 0.5 m Vincenty neighborhood it consumes.
+    has_pt = "public_transport" in gtfs.columns
+    if has_pt:
+        pairs = _probe_pairs(
+            g, n, unmatched, radius_m, b, known_ids,
+            max_pre_m=ERROR_TO_ZERO_M / _VIN_OVER_HAV_MIN,
+        )
 
     # same-location adoption (CompareData.java:1224-1262): node within
     # ERROR_TO_ZERO whose public_transport equals the stop's expected OSM
@@ -297,9 +490,12 @@ def compare_stops(
     # second probe consumer — is dropped at build time; the conflict
     # probe then reads the pairs subtree exactly once (measured: 69.9 ->
     # 59.5 s best-of-3 on the 4M-stop compare phase at 8 cores).
-    has_pt = "public_transport" in gtfs.columns
     if has_pt:
-        adopted = (
+        # pairs carry only the slim stop columns (see _probe_pairs r7
+        # note); the full stop row is re-attached here, to the tiny
+        # <= 0.5 m winner set only, by an equi-join on gtfs_id with the
+        # adoption rows as the build/broadcast side.
+        adopted_slim = (
             pairs.filter(
                 (F.col("dist_m") <= ERROR_TO_ZERO_M)
                 & F.col("osm_tags").getItem("public_transport").isNotNull()
@@ -310,8 +506,10 @@ def compare_stops(
             )
             .withColumn("_rn", F.row_number().over(first_wins))
             .filter(F.col("_rn") == 1)
-            .drop("_rn")
-            .withColumn("category", F.lit("MODIFY"))
+            .drop("_rn", "lat", "lon", "public_transport")
+        )
+        adopted = unmatched.join(b(adopted_slim), "gtfs_id").withColumn(
+            "category", F.lit("MODIFY")
         )
         best = best.unionByName(adopted.select(*best.columns))
 
@@ -342,29 +540,39 @@ def compare_stops(
     # ---- conflict branch: adopted stops entered noUpload, so only the
     # REST of the unmatched stops can conflict (CompareData.java:1060).
     if has_pt:
-        rest = unmatched.join(b(adopted.select("gtfs_id")), "gtfs_id", "left_anti")
+        rest = unmatched.join(
+            b(adopted_slim.select("gtfs_id")), "gtfs_id", "left_anti"
+        )
     else:
         rest = unmatched
-    conflict_ids = b(
-        pairs.filter(F.col("dist_m") > ERROR_TO_ZERO_M).select("gtfs_id").distinct()
+    # r7: ONE left outer join against the flagged conflict-id set replaces
+    # the previous semi+anti pair — the rest frame is scanned/shuffled
+    # once instead of twice and the union has one branch fewer (guide
+    # §2.4). The id set itself comes from the existence-only fast path
+    # (_conflict_stop_ids; distinct, so the outer join cannot duplicate
+    # rows); the per-row when() reproduces both branches' columns exactly.
+    conflict_flag = b(
+        _conflict_stop_ids(g, n, unmatched, radius_m, b, known_ids)
+        .withColumn("_cfl", F.lit(1))
     )
-
-    conflicts = (
-        rest.join(conflict_ids, "gtfs_id", "left_semi")
-        .withColumn("category", F.lit("UPLOAD_CONFLICT"))
+    is_cfl = F.col("_cfl").isNotNull()
+    fixme_tags = F.map_zip_with(
+        F.col("g_tags"),
+        F.create_map(F.lit("FIXME"), F.lit(FIXME_REDUNDANT)),
+        lambda k, gv, fv: F.coalesce(gv, fv),
+    )
+    rest_out = (
+        rest.join(conflict_flag, "gtfs_id", "left")
         .withColumn(
-            "merged_tags",
-            F.map_zip_with(
-                F.col("g_tags"),
-                F.create_map(F.lit("FIXME"), F.lit(FIXME_REDUNDANT)),
-                lambda k, gv, fv: F.coalesce(gv, fv),
+            "category",
+            F.when(is_cfl, F.lit("UPLOAD_CONFLICT")).otherwise(
+                F.lit("UPLOAD_NO_CONFLICT")
             ),
         )
-    )
-    clean = (
-        rest.join(conflict_ids, "gtfs_id", "left_anti")
-        .withColumn("category", F.lit("UPLOAD_NO_CONFLICT"))
-        .withColumn("merged_tags", F.col("g_tags"))
+        .withColumn(
+            "merged_tags", F.when(is_cfl, fixme_tags).otherwise(F.col("g_tags"))
+        )
+        .drop("_cfl")
     )
 
     null_osm = [
@@ -386,11 +594,7 @@ def compare_stops(
             "lat_raw", "lon_raw", "name_raw", "g_tags",
         )
     )
-    return (
-        best.select(*out_cols)
-        .unionByName(unmatched_shape(conflicts))
-        .unionByName(unmatched_shape(clean))
-    )
+    return best.select(*out_cols).unionByName(unmatched_shape(rest_out))
 
 
 NOTE_ADD_ID_OP = "Please add gtfs_id and operator after removing FIXME"  # CompareData.java:1184
@@ -438,6 +642,14 @@ def redundant_node_modifies(
     matched_ids = (
         b(g.select("gtfs_id", "lat", "lon"))
         .join(n.select("osm_gtfs_id", "o_lat", "o_lon"), g["gtfs_id"] == n["osm_gtfs_id"])
+        # r7: same haversine-before-Vincenty prefilter as compare_stops'
+        # id-match branch (1.01 tolerance covers the curvature spread)
+        .withColumn(
+            "_hpre",
+            haversine_m_col(F.col("lat"), F.col("lon"), F.col("o_lat"), F.col("o_lon")),
+        )
+        .filter(F.col("_hpre") < radius_m * 1.01)
+        .drop("_hpre")
         .withColumn(
             "dist_m", vincenty_m_udf(F.col("o_lat"), F.col("o_lon"), F.col("lat"), F.col("lon"))
         )

@@ -29,6 +29,8 @@ Scale notes (the part that matters at 100 TB):
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -40,7 +42,7 @@ from ..functions.cells import (
     make_hex_ring_adaptive_udf,
     make_s2_cell_udf,
 )
-from ..functions.geo import haversine_m_col
+from ..functions.geo import EARTH_RADIUS_M, haversine_m_col
 from ..synth import make_phash_latlon_udf
 
 DEFAULT_RADIUS_M = 400.0  # reference RANGE, CompareData.java:129
@@ -117,6 +119,7 @@ def radius_join(
         F.col("feature_id"),
         F.col("lat").alias("f_lat"),
         F.col("lon").alias("f_lon"),
+        F.cos(F.radians(F.col("lat"))).alias("_f_coslat"),
         *[
             c
             for c in features.columns
@@ -124,7 +127,7 @@ def radius_join(
         ],
     )
     keys = ["hex_cell"]
-    left = images_geo
+    left = images_geo.withColumn("_i_coslat", F.cos(F.radians(F.col("lat"))))
     if broadcast_features:
         f = F.broadcast(f)
     elif n_salt and n_salt > 1:
@@ -134,11 +137,31 @@ def radius_join(
         ).withColumn("_salt", F.col("_salt").cast("long"))
         keys = ["hex_cell", "_salt"]
     joined = left.join(f, keys)
-    out = joined.withColumn(
-        "dist_m",
-        haversine_m_col(F.col("lat"), F.col("lon"), F.col("f_lat"), F.col("f_lon")),
-    ).filter(F.col("dist_m") < radius_m)
-    return out.drop("_salt")
+    # r7 (guide §2.3/§3): conservative bbox prefilter evaluated before any
+    # trig in the (pushed-down) join condition, with cos(lat) hoisted to
+    # one evaluation per ROW. haversine d >= R*|dlat| gives the lat bound;
+    # d >= 2R*asin(sqrt(cos(lat1)cos(lat2))*|sin(dlon/2)|) with the
+    # sin(x) >= 0.9999874*x linearization (valid for |dlon| < 1 deg —
+    # larger dlon skips the test via the OR guard, it never drops) gives
+    # the lon bound. False keeps fall to the exact haversine below, so
+    # the pair set is unchanged; dist_m is bit-identical (same expression
+    # tree as haversine_m_col with the cos factors materialized).
+    dlat = F.col("f_lat") - F.col("lat")
+    dlon = F.col("f_lon") - F.col("lon")
+    cosprod = F.col("_i_coslat") * F.col("_f_coslat")
+    dlat_bound = math.degrees(radius_m / EARTH_RADIUS_M) * 1.0000001
+    dlon_bound2 = (math.degrees((radius_m / EARTH_RADIUS_M) / 0.9999874) * 1.0000001) ** 2
+    pre = (F.abs(dlat) < F.lit(dlat_bound)) & (
+        (dlon * dlon * cosprod < F.lit(dlon_bound2)) | (F.abs(dlon) >= F.lit(1.0))
+    )
+    dist = F.lit(2.0 * EARTH_RADIUS_M) * F.asin(
+        F.sqrt(
+            F.pow(F.sin(F.radians(dlat) / 2.0), 2)
+            + cosprod * F.pow(F.sin(F.radians(dlon) / 2.0), 2)
+        )
+    )
+    out = joined.filter(pre).withColumn("dist_m", dist).filter(F.col("dist_m") < radius_m)
+    return out.drop("_salt", "_i_coslat", "_f_coslat")
 
 
 def knn_join(

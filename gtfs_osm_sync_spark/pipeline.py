@@ -22,16 +22,19 @@ atomic commit as the data so there is no lost+recomputed window.
 
 from __future__ import annotations
 
+import math
 import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .functions.geo import EARTH_RADIUS_M
 from .operators.spatial_join import (
     DEFAULT_K,
     DEFAULT_RADIUS_M,
     ERROR_TO_ZERO_M,
+    features_with_ring_cells,
     geotag_images,
     radius_join,
 )
@@ -52,17 +55,27 @@ def assign_images(
 ) -> DataFrame:
     """Per image: tile cells + nearest feature + match category.
 
-    Shuffle budget: the radius join is map-only (broadcast features), and
-    BOTH the nearest-by-distance head and the id-match-priority best
-    reduce in ONE partial-aggregatable groupBy via min(struct(...)) —
+    Shuffle budget (r7 single-pass shape): ONE consumer of images_geo.
+    The candidate join is a LEFT outer broadcast hash join against the
+    ring-exploded features with the radius predicate (bbox prefilter
+    first, then exact haversine) in the join condition, so images with
+    no candidate survive as a single null-candidate row — the previous
+    shape consumed images_geo twice (pairs + a final restore join),
+    which re-ran the upstream generator/scan and paid a second 10^6-row
+    join (guide §2.4: remove shuffles/passes outright). BOTH the
+    nearest-by-distance head and the id-match-priority best then reduce
+    in ONE partial-aggregatable groupBy via min(struct(...)) —
     lexicographic struct ordering encodes the (dist, feature_id) and
-    (id_match desc, dist, feature_id) priorities. No windows, no plan
-    branching (a windowed formulation recomputes the scan lineage per
-    branch), map-side combine shrinks pairs to per-image rows before the
-    only shuffle. The final left join restores images with no candidate.
+    (id_match desc, dist, feature_id) priorities; null-candidate rows
+    contribute NULL structs which min() ignores, reproducing the old
+    left-join NULL semantics exactly. Payload columns (phash, caption,
+    ...) ride the same pass via first(): they fan out ~ring-size per
+    candidate map-side only — nothing crosses the wire more than once,
+    because the partial aggregate reduces to per-image rows before the
+    single exchange.
 
     images_geo must already carry lat/lon/hex_cell (geotag_images) — at
-    scale that is the stored table scan, and callers persist the chunk.
+    scale that is the stored table scan.
     """
     # lpad TRUNCATES strings longer than the pad width, so ids >= 1e8
     # would silently never id-match the feature side (which zero-pads
@@ -72,16 +85,54 @@ def assign_images(
         "gtfs_id_img",
         F.when(F.length(stripped) < 8, F.lpad(stripped, 8, "0")).otherwise(stripped),
     )
-    # column pruning by hand where it matters: the candidate join shuffles
-    # |candidates| ~ 6x |pairs| rows — carry only the join-relevant columns
-    # through it (captions/tags/payloads ride the final left join instead)
-    slim_geo = geo.select("image_id", "lat", "lon", "hex_cell", "gtfs_id_img")
-    slim_features = features.select("feature_id", "lat", "lon", "gtfs_id")
-    pairs = radius_join(slim_geo, slim_features, radius_m, broadcast_features).withColumn(
-        "id_match",
-        F.when(
-            F.col("gtfs_id").isNotNull() & (F.col("gtfs_id") == F.col("gtfs_id_img")), 1
-        ).otherwise(0),
+    base_cols = [
+        c
+        for c in ("image_id", "phash", "caption", "lat", "lon", "hex_cell", "s2_cell")
+        if c in images_geo.columns
+    ]
+    f = features_with_ring_cells(
+        features.select("feature_id", "lat", "lon", "gtfs_id"), radius_m
+    ).select(
+        F.col("hex_cell").alias("f_cell"),
+        "feature_id",
+        F.col("lat").alias("f_lat"),
+        F.col("lon").alias("f_lon"),
+        F.cos(F.radians(F.col("lat"))).alias("_f_coslat"),
+        "gtfs_id",
+    )
+    if broadcast_features:
+        f = F.broadcast(f)
+    left = geo.withColumn("_i_coslat", F.cos(F.radians(F.col("lat"))))
+    # radius predicate inside the LEFT join condition: bbox prefilter
+    # (same conservative bounds as radius_join) short-circuits before the
+    # trig; dist recomputed once more in the projection for survivors
+    # (bit-identical expression, f_lat NULL -> dist_m NULL for the
+    # no-candidate row).
+    dlat = F.col("f_lat") - F.col("lat")
+    dlon = F.col("f_lon") - F.col("lon")
+    cosprod = F.col("_i_coslat") * F.col("_f_coslat")
+    dlat_bound = math.degrees(radius_m / EARTH_RADIUS_M) * 1.0000001
+    dlon_bound2 = (math.degrees((radius_m / EARTH_RADIUS_M) / 0.9999874) * 1.0000001) ** 2
+    pre = (F.abs(dlat) < F.lit(dlat_bound)) & (
+        (dlon * dlon * cosprod < F.lit(dlon_bound2)) | (F.abs(dlon) >= F.lit(1.0))
+    )
+    dist = F.lit(2.0 * EARTH_RADIUS_M) * F.asin(
+        F.sqrt(
+            F.pow(F.sin(F.radians(dlat) / 2.0), 2)
+            + cosprod * F.pow(F.sin(F.radians(dlon) / 2.0), 2)
+        )
+    )
+    cond = (F.col("hex_cell") == F.col("f_cell")) & pre & (dist < F.lit(radius_m))
+    pairs = (
+        left.join(f, cond, "left")
+        .withColumn("dist_m", dist)
+        .withColumn(
+            "id_match",
+            F.when(
+                F.col("gtfs_id").isNotNull() & (F.col("gtfs_id") == F.col("gtfs_id_img")),
+                1,
+            ).otherwise(0),
+        )
     )
     # physical note: min(struct) (like min_by and min(string)) lowers to
     # SortAggregate — HashAggregate needs fixed-width mutable buffers.
@@ -90,23 +141,24 @@ def assign_images(
     # exact (dist, feature_id) ordering it preserves is worth more than a
     # hash-agg would save (every lossy packing we measured either broke
     # exactness or needed numeric feature ids).
+    has_cand = F.col("feature_id").isNotNull()
     agg = pairs.groupBy("image_id").agg(
-        F.min(F.struct(F.col("dist_m"), F.col("feature_id"))).alias("_near"),
         F.min(
-            F.struct(
-                (1 - F.col("id_match")).alias("inv_match"),
-                F.col("dist_m"),
-                F.col("feature_id"),
+            F.when(has_cand, F.struct(F.col("dist_m"), F.col("feature_id")))
+        ).alias("_near"),
+        F.min(
+            F.when(
+                has_cand,
+                F.struct(
+                    (1 - F.col("id_match")).alias("inv_match"),
+                    F.col("dist_m"),
+                    F.col("feature_id"),
+                ),
             )
         ).alias("_best"),
+        *[F.first(c).alias(c) for c in base_cols if c != "image_id"],
     )
-    base_cols = [
-        c
-        for c in ("image_id", "phash", "caption", "lat", "lon", "hex_cell", "s2_cell")
-        if c in images_geo.columns
-    ]
-    out = geo.select(*base_cols).join(agg, "image_id", "left")
-    return out.select(
+    return agg.select(
         *base_cols,
         F.col("_near.feature_id").alias("nearest_feature_id"),
         F.round(F.col("_near.dist_m"), 6).alias("nearest_dist_m"),
