@@ -289,14 +289,19 @@ def bm25_topk_indexed(
     pure cost)."""
     qterms = _query_terms_df(spark, queries)
     vocab = sorted({r["term"] for r in qterms.select("term").distinct().collect()})
-    buckets = sorted({_py_term_bucket(t, n_buckets) for t in vocab})
+    buckets = sorted(set(_term_buckets(vocab, n_buckets).values()))
     postings = index.read(spark)
     if buckets and len(buckets) <= prune_max_buckets:
         postings = postings.filter(F.col("bucket").isin(buckets))
     # restrict to the query vocabulary before the df agg: the pruned
     # buckets still hold unrelated terms that share the hash bucket
     postings = postings.filter(F.col("term").isin(vocab))
-    srow = stats.read(spark).collect()[0]
+    # stats rows are cumulative across incremental appends (one row per
+    # build_term_index append): SUM them so idf/avgdl stay exact for a
+    # grown index instead of reading an arbitrary single row
+    srow = stats.read(spark).agg(
+        F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl")
+    ).collect()[0]
     n_docs, sum_dl = int(srow["n_docs"]), int(srow["sum_dl"])
     return _score_topk(
         postings, qterms, _bm25_weight(n_docs, sum_dl / n_docs), k, parts
@@ -306,21 +311,32 @@ def bm25_topk_indexed(
 _BUCKET_CACHE: dict[tuple[str, int], int] = {}
 
 
-def _py_term_bucket(term: str, n_buckets: int = N_TERM_BUCKETS) -> int:
-    """Driver-side mirror of term_bucket: one bounded 1-row Spark eval
-    per distinct (term, n_buckets), memoized — xxhash64 has no public
-    Python implementation in this environment, so the authoritative
-    JVM expression computes its own bucket ids."""
-    key = (term, n_buckets)
-    if key not in _BUCKET_CACHE:
+def _term_buckets(terms: list[str], n_buckets: int = N_TERM_BUCKETS) -> dict[str, int]:
+    """Driver-side mirror of term_bucket for a WHOLE vocabulary: all
+    uncached terms are evaluated in ONE bounded Spark job
+    (createDataFrame -> term_bucket -> collect), memoized — xxhash64 has
+    no public Python implementation in this environment, so the
+    authoritative JVM expression computes its own bucket ids. (r7: was
+    one 1-row job per distinct cold term — a V-term query batch paid V
+    sequential driver round-trips just to compute partition keys.)"""
+    missing = [t for t in terms if (t, n_buckets) not in _BUCKET_CACHE]
+    if missing:
         from ..session import get_spark
 
         spark = get_spark()
-        row = spark.range(1).select(
-            term_bucket(F.lit(term), n_buckets).alias("b")
-        ).collect()[0]
-        _BUCKET_CACHE[key] = int(row["b"])
-    return _BUCKET_CACHE[key]
+        rows = (
+            spark.createDataFrame([(t,) for t in missing], "term STRING")
+            .select("term", term_bucket(F.col("term"), n_buckets).alias("b"))
+            .collect()
+        )
+        for r in rows:
+            _BUCKET_CACHE[(r["term"], n_buckets)] = int(r["b"])
+    return {t: _BUCKET_CACHE[(t, n_buckets)] for t in terms}
+
+
+def _py_term_bucket(term: str, n_buckets: int = N_TERM_BUCKETS) -> int:
+    """Single-term convenience wrapper over _term_buckets (memoized)."""
+    return _term_buckets([term], n_buckets)[term]
 
 
 # ---------------------------------------------------------------------------

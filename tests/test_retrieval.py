@@ -163,3 +163,42 @@ def test_rrf_fuse_hand_checked(spark):
     assert [d for d, (rk, _) in sorted(got.items(), key=lambda x: x[1][0])] == [
         11, 10, 13, 12
     ]
+
+
+def test_incremental_append_stats_cumulative(spark, docs, tmp_path):
+    """Two build_term_index appends (corpus split in half) must serve
+    EXACTLY like one build over the union: stats rows are summed at read
+    time (r7 fix — a second append used to leave n_docs/sum_dl at one
+    arbitrary row, silently skewing idf/avgdl)."""
+    half_a = docs.filter(F.col("doc_id") < 3)
+    half_b = docs.filter(F.col("doc_id") >= 3)
+    root = str(tmp_path / "idx_inc")
+    idx, stats = R.build_term_index(half_a, root)
+    idx2, stats2 = R.build_term_index(half_b, root)
+    qs = [(1, "fast merge"), (2, "scan the")]
+    got = R.bm25_topk_indexed(spark, idx2, stats2, qs, k=10)
+    want = R.bm25_topk(spark, docs, qs, k=10)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_term_buckets_one_job_for_vocab(spark):
+    """A cold multi-term vocabulary is resolved in ONE Spark job
+    (r7 batch fix), results identical to per-term evaluation."""
+    terms = [f"zz_cold_{i}" for i in range(12)]
+    for t in terms:
+        R._BUCKET_CACHE.pop((t, R.N_TERM_BUCKETS), None)
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    got = R._term_buckets(terms)
+    # every term resolved and memoized; re-resolution touches no Spark
+    assert set(got) == set(terms)
+    assert all((t, R.N_TERM_BUCKETS) in R._BUCKET_CACHE for t in terms)
+    again = R._term_buckets(terms)
+    assert again == got
+    # parity with the authoritative JVM expression, evaluated directly
+    rows = (
+        spark.createDataFrame([(t,) for t in terms], "term STRING")
+        .select("term", R.term_bucket(F.col("term")).alias("b"))
+        .collect()
+    )
+    assert {r["term"]: r["b"] for r in rows} == got
