@@ -90,22 +90,32 @@ def corpus_stats(docs: DataFrame, text_col: str = "text") -> tuple[int, int]:
     return int(row["n"]), int(row["s"])
 
 
-def _bm25_weight(n_docs: int, avgdl: float) -> Column:
-    """Per-(doc, term) BM25 contribution from tf, dl, df columns."""
+def _as_col(x, cast: str | None = None) -> Column:
+    """Scalar -> literal Column; Column passes through (r7: the batch
+    scorers feed corpus stats IN-PLAN as 1-row broadcast columns instead
+    of driver-collected Python floats — same IEEE doubles, one fewer
+    corpus scan and one fewer driver action per query batch)."""
+    c = F.lit(float(x)) if isinstance(x, (int, float)) else x
+    return c.cast(cast) if cast else c
+
+
+def _bm25_weight(n_docs, avgdl) -> Column:
+    """Per-(doc, term) BM25 contribution from tf, dl, df columns.
+    n_docs/avgdl may be Python scalars or (double) Columns."""
+    nd = _as_col(n_docs)
     idf = F.log(
-        F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        F.lit(1.0) + (nd - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
     )
     tf = F.col("tf").cast("double")
     sat = tf * F.lit(K1 + 1.0) / (
-        tf + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(avgdl))
+        tf + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / _as_col(avgdl))
     )
     return idf * sat
 
 
-def _tfidf_weight(n_docs: int, avgdl: float) -> Column:
+def _tfidf_weight(n_docs, avgdl) -> Column:
     """Smooth TF-IDF: tf * (ln((N+1)/(df+1)) + 1) (sklearn's smooth idf)."""
-    idf = F.log((F.lit(float(n_docs) + 1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
+    idf = F.log((_as_col(n_docs) + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
     return F.col("tf").cast("double") * idf
 
 
@@ -141,6 +151,7 @@ def _score_topk(
     weight: Column,
     k: int,
     parts: int,
+    stats_df: DataFrame | None = None,
 ) -> DataFrame:
     """Shared scoring tail: df aggregation -> broadcast scoring join ->
     per-(query, doc) sum -> salted top-k.
@@ -148,13 +159,17 @@ def _score_topk(
     `postings` may be freshly computed (query_postings) or read pruned
     from a stored index — document frequencies come out the same because
     an index bucket holds EVERY posting of its terms.
+
+    stats_df (r7): optional 1-row (_n_docs, _sum_dl) frame broadcast-
+    cross-joined into the scoring join so `weight` may reference corpus
+    stats as COLUMNS — keeps the whole batch one Spark action (no
+    driver-side stats collect, no second corpus scan).
     """
     dfreq = postings.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
-    cand = (
-        postings.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(dfreq), "term")
-        .withColumn("w", weight)
-    )
+    cand = postings.join(F.broadcast(qterms), "term").join(F.broadcast(dfreq), "term")
+    if stats_df is not None:
+        cand = cand.crossJoin(F.broadcast(stats_df))
+    cand = cand.withColumn("w", weight)
     scores = (
         cand.groupBy("query_id", "doc_id")
         .agg(F.round(F.sum("w"), 6).alias("score_r"))
@@ -174,17 +189,25 @@ def bm25_topk(
     """BM25 top-k: (query_id, rank, doc_id, score) for each query.
 
     One postings shuffle (restricted to the query vocabulary), one tiny
-    df aggregation, broadcast scoring joins, salted top-k. N and sum(dl)
-    are a single bounded 1-row collect (the engine's bounded-driver-
-    collect contract).
+    df aggregation, broadcast scoring joins, salted top-k. r7: the whole
+    batch is ONE Spark action — the query vocabulary comes straight from
+    the Python `queries` list (it was a driver-side collect of a LOCAL
+    frame) and corpus stats ride in-plan as a 1-row broadcast
+    (exact-integer count/sum, so the in-plan sum_dl/n_docs division is
+    the same IEEE double the collected path produced).
     """
     qterms = _query_terms_df(spark, queries)
-    vocab = [r["term"] for r in qterms.select("term").distinct().collect()]
-    n_docs, sum_dl = corpus_stats(docs, text_col)
+    vocab = sorted({t for _, q in queries for t in q.split()})
     postings = query_postings(docs, vocab, text_col, id_col)
-    return _score_topk(
-        postings, qterms, _bm25_weight(n_docs, sum_dl / n_docs), k, parts
+    stats_df = docs.agg(
+        F.count("*").alias("_n_docs"),
+        F.sum(F.size(F.split(F.col(text_col), " "))).alias("_sum_dl"),
     )
+    weight = _bm25_weight(
+        F.col("_n_docs").cast("double"),
+        F.col("_sum_dl") / F.col("_n_docs"),
+    )
+    return _score_topk(postings, qterms, weight, k, parts, stats_df=stats_df)
 
 
 def tfidf_topk(
@@ -196,14 +219,14 @@ def tfidf_topk(
     id_col: str = "doc_id",
     parts: int = 32,
 ) -> DataFrame:
-    """Smooth-TF-IDF top-k, same plan shape as bm25_topk."""
+    """Smooth-TF-IDF top-k, same plan shape (and one-action batch) as
+    bm25_topk."""
     qterms = _query_terms_df(spark, queries)
-    vocab = [r["term"] for r in qterms.select("term").distinct().collect()]
-    n_docs, sum_dl = corpus_stats(docs, text_col)
+    vocab = sorted({t for _, q in queries for t in q.split()})
     postings = query_postings(docs, vocab, text_col, id_col)
-    return _score_topk(
-        postings, qterms, _tfidf_weight(n_docs, sum_dl / n_docs), k, parts
-    )
+    stats_df = docs.agg(F.count("*").alias("_n_docs"))
+    weight = _tfidf_weight(F.col("_n_docs").cast("double"), None)
+    return _score_topk(postings, qterms, weight, k, parts, stats_df=stats_df)
 
 
 # ---------------------------------------------------------------------------
@@ -288,7 +311,7 @@ def bm25_topk_indexed(
     (the filter would prune little and its literal-set evaluation is
     pure cost)."""
     qterms = _query_terms_df(spark, queries)
-    vocab = sorted({r["term"] for r in qterms.select("term").distinct().collect()})
+    vocab = sorted({t for _, q in queries for t in q.split()})
     buckets = sorted(set(_term_buckets(vocab, n_buckets).values()))
     postings = index.read(spark)
     if buckets and len(buckets) <= prune_max_buckets:

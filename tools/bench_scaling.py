@@ -74,6 +74,16 @@ PHASES = ("ingest", "assign", "mosaic", "compare", "dedup", "ann", "curate",
 # and the current-plan median; rows written before tagging are backfilled
 # from their recorded build hash (see _PLAN_BACKFILL).
 PLAN_TAGS = {
+    "assign": "leftbcast-1pass-covercells",  # r7: single-pass
+    #   assign_images (LEFT broadcast ring join with the radius predicate
+    #   in the join condition + group-all; no second images scan, no
+    #   restore join) over JVM cover-grid candidate cells + bbox
+    #   prefilter before the trig
+    "compare": "existence-probe-covergrid",  # r7: conflict branch as a
+    #   LEFT SEMI certainty-band join (Vincenty only on ambiguity
+    #   shells), JVM cover-grid prejoin (no hex-ring pandas UDF), slim
+    #   probe build side, persisted narrow matched-id set, fused
+    #   conflict/clean output branch
     "dedup": "agg-banding-symfree-cc",  # single-aggregation LSH banding
     #   (41146fd) + once-checkpointed CC input (85e0a64) + duplicate-
     #   tolerant star rounds (no per-round sym distinct: one fewer
@@ -90,9 +100,11 @@ PLAN_TAGS = {
     "curate": "one-pass-feats-banded-cc",  # single decode pass (einsum-
     #   batched DCT phash) persisted, pigeonhole banding on the computed
     #   hash, symfree-CC, survivor join + shard assign
-    "retrieval": "vocab-scan-salted-topk",  # BM25 end to end: postings
-    #   restricted to the query vocabulary inside the scan stage, 1-row
-    #   corpus stats, broadcast df/idf, salted two-stage top-k
+    "retrieval": "one-action-stats-inplan",  # r7: BM25 end to end as ONE
+    #   Spark action — vocabulary from the Python query list (no local-
+    #   frame collect), corpus stats as a 1-row broadcast cross join
+    #   (no separate stats scan/collect); postings still restricted to
+    #   the query vocabulary in the scan stage, salted two-stage top-k
 }
 # build-hash prefix -> {phase: tag} for pre-tagging ledger rows; anything
 # not listed ran the legacy plan for every phase (tag None = excluded
