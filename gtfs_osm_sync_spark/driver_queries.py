@@ -268,20 +268,31 @@ def q02(spark, sf_dir):
     """,
 )
 def q03(spark, sf_dir):
-    """Multi-way equi-join with broadcast dimensions (J-group; star join)."""
+    """Multi-way equi-join with broadcast dimensions (J-group; star join).
+
+    r7 (guide §2.3/§2.4): aggregate by the INT nationkey through a single
+    2-column broadcast probe, then attach the (n_name, r_name) labels to
+    the 25 aggregated rows — nationkey <-> (n_name, r_name) is a
+    bijection in TPC-H, so the grouping sets are identical and only the
+    intra-group addition order changes, which the in-query round(,2)
+    absorbs (the same guard that already covers the Spark-vs-DuckDB sum
+    order). Measured 2x at sf1.0: 0.39-0.47 s vs 0.78-1.0 s, hash-equal.
+    """
     orders, customer, nation, region = load(
         spark, sf_dir, "orders", "customer", "nation", "region"
     )
-    return (
-        orders.join(customer, orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .groupBy("n_name", "r_name")
-        .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
-            F.count("*").alias("n_orders"),
-        )
+    slim = customer.select("c_custkey", "c_nationkey")
+    agg = (
+        orders.join(F.broadcast(slim), orders.o_custkey == slim.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.sum("o_totalprice").alias("_s"), F.count("*").alias("n_orders"))
     )
+    names = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name", "r_name")
+    return agg.join(
+        F.broadcast(names), agg.c_nationkey == names.n_nationkey
+    ).select("n_name", "r_name", F.round("_s", 2).alias("revenue"), "n_orders")
 
 
 @register(
