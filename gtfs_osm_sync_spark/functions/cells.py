@@ -472,6 +472,9 @@ def grid_cell_sql(lat: str, lon: str, cell_deg: float) -> str:
 #   only hit within ~GLAT of a pole.
 # The exact distance predicate downstream remains the only filter that
 # decides membership; the grid only proposes candidates.
+# Known limit (shared with the hex grid it replaces and the synthetic /
+# fixture data ranges): longitude does not wrap at the antimeridian —
+# a pair straddling +/-180 deg is not co-bucketed.
 
 _COVER_STRIDE = 1 << 21  # lon-index packing stride (|lonidx| < 2^20 for any radius >= 70 m)
 
