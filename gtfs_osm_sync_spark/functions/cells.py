@@ -480,7 +480,18 @@ _COVER_STRIDE = 1 << 21  # lon-index packing stride (|lonidx| < 2^20 for any rad
 
 
 def cover_grid_deg(radius_m: float) -> float:
-    """Cell size (degrees of latitude) for cover_cell_col/cover_cells_col."""
+    """Cell size (degrees of latitude) for cover_cell_col/cover_cells_col.
+
+    radius_m must be >= 70 m: below that the lon index range would
+    overflow the _COVER_STRIDE packing and lat/lon cells could collide
+    silently. Every engine radius (400 m compare/assign, 20 km driver
+    queries) is far above the floor; the guard makes a future misuse
+    fail loudly instead of corrupting the candidate set."""
+    if radius_m < 70.0:
+        raise ValueError(
+            f"cover grid requires radius_m >= 70 (got {radius_m!r}); "
+            "the lon-index packing would overflow"
+        )
     return math.degrees(radius_m / 6371008.8) * 1.05
 
 
